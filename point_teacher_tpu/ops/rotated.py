@@ -1,0 +1,165 @@
+"""Rotated-box geometry (pure JAX, static shapes).
+
+Replaces the mmcv-full CUDA ops the reference imports:
+- box_iou_rotated  (OBB_TOD/mmrotate/core/bbox/iou_calculators)
+- diff_iou_rotated_2d (OBB_TOD/mmrotate/models/losses/rotated_iou_loss.py:11)
+- obb2poly_le90 (HBB_TOD/mmdet/models/detectors/data_augument_bank.py:516)
+- obb2xyxy (syn_images_generator_v2.py:382)
+
+Rotated IoU is computed with a fully vectorised Sutherland–Hodgman convex
+clip + shoelace area — differentiable, no dynamic shapes, maps to the VPU.
+Boxes are (cx, cy, w, h, theta) with theta in radians (le90 convention).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+Array = jnp.ndarray
+
+
+def obb2poly(rboxes: Array) -> Array:
+    """[..., 5] (cx,cy,w,h,a) -> [..., 8] corner polygon (x0,y0,...,x3,y3).
+
+    Corner order matches the reference's le90 conversion: (tl, tr, br, bl) in
+    the box frame rotated by a.
+    """
+    cx, cy, w, h, a = (rboxes[..., i] for i in range(5))
+    dx = w * 0.5
+    dy = h * 0.5
+    cos, sin = jnp.cos(a), jnp.sin(a)
+    # box-frame corners: (-dx,-dy), (dx,-dy), (dx,dy), (-dx,dy)
+    xs = jnp.stack([-dx, dx, dx, -dx], axis=-1)
+    ys = jnp.stack([-dy, -dy, dy, dy], axis=-1)
+    px = cos[..., None] * xs - sin[..., None] * ys + cx[..., None]
+    py = sin[..., None] * xs + cos[..., None] * ys + cy[..., None]
+    return jnp.stack([px, py], axis=-1).reshape(*rboxes.shape[:-1], 8)
+
+
+def obb2xyxy(obb: Array) -> Array:
+    """Axis-aligned cover of a rotated box, matching syn_images_generator_v2.py:382."""
+    w, h, a = obb[..., 2], obb[..., 3], obb[..., 4]
+    cosa, sina = jnp.abs(jnp.cos(a)), jnp.abs(jnp.sin(a))
+    dw = cosa * w + sina * h
+    dh = sina * w + cosa * h
+    cx, cy = obb[..., 0], obb[..., 1]
+    return jnp.stack([cx - dw / 2, cy - dh / 2, cx + dw / 2, cy + dh / 2], axis=-1)
+
+
+def points_in_rbox(points: Array, rboxes: Array) -> Array:
+    """points [..., P, 2] x rboxes [..., G, 5] -> bool [..., P, G]."""
+    d = points[..., :, None, :] - rboxes[..., None, :, :2]  # [..., P, G, 2]
+    a = rboxes[..., None, :, 4]
+    cos, sin = jnp.cos(a), jnp.sin(a)
+    # rotate into box frame (inverse rotation)
+    lx = cos * d[..., 0] + sin * d[..., 1]
+    ly = -sin * d[..., 0] + cos * d[..., 1]
+    return (jnp.abs(lx) <= rboxes[..., None, :, 2] * 0.5) & (
+        jnp.abs(ly) <= rboxes[..., None, :, 3] * 0.5
+    )
+
+
+def _poly_area(poly_xy: Array, valid: Array) -> Array:
+    """Shoelace area of a padded convex polygon.
+
+    poly_xy: [..., K, 2]; valid: bool [..., K] marking real vertices, which are
+    assumed to be stored contiguously from index 0 (standard for clip output).
+    """
+    k = poly_xy.shape[-2]
+    n = valid.sum(-1)  # number of real vertices
+    idx = jnp.arange(k)
+    # next index modulo n (padded entries contribute 0 via mask)
+    nxt = jnp.where(idx[None] + 1 >= n[..., None], 0, idx[None] + 1)
+    x, y = poly_xy[..., 0], poly_xy[..., 1]
+    xn = jnp.take_along_axis(x, nxt, axis=-1)
+    yn = jnp.take_along_axis(y, nxt, axis=-1)
+    cross = x * yn - xn * y
+    cross = jnp.where(valid, cross, 0.0)
+    return jnp.abs(cross.sum(-1)) * 0.5
+
+
+def _clip_poly_halfplane(poly: Array, valid: Array, p0: Array, p1: Array):
+    """Clip padded polygon [..., K, 2] against the half-plane left of edge p0->p1.
+
+    Returns (new_poly [..., 2K, 2], new_valid [..., 2K]) — output vertices are
+    compacted to the front. Fully static shapes.
+    """
+    k = poly.shape[-2]
+    n = valid.sum(-1)
+    idx = jnp.arange(k)
+    nxt = jnp.where(idx[None] + 1 >= n[..., None], 0, idx[None] + 1)
+    cur = poly
+    nxt_v = jnp.take_along_axis(poly, nxt[..., None].repeat(2, -1), axis=-2)
+
+    e = p1 - p0  # [..., 2]
+    def side(pt):
+        d = pt - p0[..., None, :]
+        return e[..., None, 0] * d[..., 1] - e[..., None, 1] * d[..., 0]
+
+    s_cur = side(cur)
+    s_nxt = side(nxt_v)
+    in_cur = s_cur >= 0
+    in_nxt = s_nxt >= 0
+
+    denom = s_cur - s_nxt
+    t = s_cur / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
+    inter = cur + t[..., None] * (nxt_v - cur)
+
+    # per input edge emit up to 2 vertices: (cur if inside), (intersection if edge crosses)
+    emit1 = in_cur & valid
+    emit2 = (in_cur ^ in_nxt) & valid
+    verts = jnp.stack([cur, inter], axis=-2).reshape(*poly.shape[:-2], 2 * k, 2)
+    emits = jnp.stack([emit1, emit2], axis=-1).reshape(*poly.shape[:-2], 2 * k)
+
+    # compact to front (stable)
+    order = jnp.argsort(~emits, axis=-1, stable=True)
+    verts = jnp.take_along_axis(verts, order[..., None].repeat(2, -1), axis=-2)
+    emits = jnp.take_along_axis(emits, order, axis=-1)
+    return verts, emits
+
+
+def rbox_intersection_area(r1: Array, r2: Array) -> Array:
+    """Intersection area of two rotated boxes, each [..., 5] -> [...].
+
+    Clips poly(r1) against the 4 edges of poly(r2). Output polygon of two
+    clipped quads has <= 8 vertices; we keep 16 slots then measure area.
+    """
+    p1 = obb2poly(r1).reshape(*r1.shape[:-1], 4, 2)
+    p2 = obb2poly(r2).reshape(*r2.shape[:-1], 4, 2)
+    poly = p1
+    valid = jnp.ones(p1.shape[:-1], dtype=bool)
+    # ensure p2 edges wind counter-clockwise in (x right, y down)? The winding
+    # of obb2poly is consistent; orient by signed area of p2.
+    x, y = p2[..., 0], p2[..., 1]
+    xn = jnp.roll(x, -1, axis=-1)
+    yn = jnp.roll(y, -1, axis=-1)
+    signed = (x * yn - xn * y).sum(-1)
+    flip = signed < 0
+    p2 = jnp.where(flip[..., None, None], p2[..., ::-1, :], p2)
+
+    for i in range(4):
+        p0 = p2[..., i, :]
+        p1e = p2[..., (i + 1) % 4, :]
+        poly, valid = _clip_poly_halfplane(poly, valid, p0, p1e)
+        # cap growth: after each clip the true vertex count is <= 8
+        if poly.shape[-2] > 16:
+            poly = poly[..., :16, :]
+            valid = valid[..., :16]
+    return _poly_area(poly, valid)
+
+
+def rbox_iou(rb1: Array, rb2: Array, aligned: bool = False, eps: float = 1e-6) -> Array:
+    """Rotated IoU. Pairwise [M,5]x[N,5]->[M,N]; aligned [M,5]x[M,5]->[M].
+
+    Differentiable (usable as the diff_iou_rotated_2d replacement).
+    """
+    if not aligned:
+        m, n = rb1.shape[-2], rb2.shape[-2]
+        r1 = jnp.broadcast_to(rb1[..., :, None, :], (*rb1.shape[:-2], m, n, 5))
+        r2 = jnp.broadcast_to(rb2[..., None, :, :], (*rb2.shape[:-2], m, n, 5))
+    else:
+        r1, r2 = rb1, rb2
+    inter = rbox_intersection_area(r1, r2)
+    a1 = r1[..., 2] * r1[..., 3]
+    a2 = r2[..., 2] * r2[..., 3]
+    return inter / jnp.maximum(a1 + a2 - inter, eps)

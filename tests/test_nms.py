@@ -1,0 +1,72 @@
+import jax.numpy as jnp
+import numpy as np
+
+from point_teacher_tpu.ops import nms as N
+
+
+def test_nms_basic():
+    boxes = jnp.array(
+        [[0, 0, 10, 10], [1, 1, 11, 11], [20, 20, 30, 30]], dtype=jnp.float32
+    )
+    scores = jnp.array([0.9, 0.8, 0.7])
+    keep = np.asarray(N.nms(boxes, scores, 0.5))
+    assert keep.tolist() == [True, False, True]
+
+
+def _numpy_greedy_nms(boxes, scores, thr):
+    order = np.argsort(-scores, kind="stable")
+    keep = []
+    sup = np.zeros(len(boxes), dtype=bool)
+    for i in order:
+        if sup[i]:
+            continue
+        keep.append(i)
+        x1 = np.maximum(boxes[i, 0], boxes[:, 0])
+        y1 = np.maximum(boxes[i, 1], boxes[:, 1])
+        x2 = np.minimum(boxes[i, 2], boxes[:, 2])
+        y2 = np.minimum(boxes[i, 3], boxes[:, 3])
+        inter = np.clip(x2 - x1, 0, None) * np.clip(y2 - y1, 0, None)
+        a = (boxes[:, 2] - boxes[:, 0]) * (boxes[:, 3] - boxes[:, 1])
+        iou = inter / (a[i] + a - inter)
+        sup |= iou > thr
+    return set(keep)
+
+
+def test_nms_matches_numpy_oracle():
+    rng = np.random.RandomState(0)
+    xy = rng.uniform(0, 80, (64, 2)).astype(np.float32)
+    wh = rng.uniform(4, 30, (64, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + wh], -1)
+    scores = rng.rand(64).astype(np.float32)
+    keep_mask = np.asarray(N.nms(jnp.array(boxes), jnp.array(scores), 0.5))
+    ours = set(np.nonzero(keep_mask)[0].tolist())
+    ref = _numpy_greedy_nms(boxes, scores, 0.5)
+    assert ours == ref
+
+
+def test_nms_rotated_suppresses_identical():
+    rb = jnp.array([[5.0, 5.0, 4.0, 4.0, 0.3], [5.0, 5.0, 4.0, 4.0, 0.3], [50, 50, 4, 4, 0.0]])
+    scores = jnp.array([0.9, 0.5, 0.4])
+    keep = np.asarray(N.nms_rotated(rb, scores, 0.5))
+    assert keep.tolist() == [True, False, True]
+
+
+def test_multiclass_nms_shapes_and_filtering():
+    boxes = jnp.array([[0, 0, 10, 10], [0, 0, 10, 10], [20, 20, 30, 30]], dtype=jnp.float32)
+    scores = jnp.array([[0.9, 0.01], [0.02, 0.8], [0.7, 0.01]])
+    dets, labels, valid = N.multiclass_nms(boxes, scores, 0.05, 0.5, 10)
+    assert dets.shape == (10, 5) and labels.shape == (10,)
+    got = sorted(
+        [(int(l), round(float(s), 3)) for l, s, v in zip(labels, dets[:, 4], valid) if v]
+    )
+    # box0 class0 (0.9), box1 class1 (0.8) kept even though same box (different class),
+    # box2 class0 (0.7) kept
+    assert got == [(0, 0.7), (0, 0.9), (1, 0.8)]
+
+
+def test_nms_with_valid_mask():
+    boxes = jnp.array([[0, 0, 10, 10], [0, 0, 10, 10]], dtype=jnp.float32)
+    scores = jnp.array([0.5, 0.9])
+    valid = jnp.array([True, False])
+    keep = np.asarray(N.nms(boxes, scores, 0.5, valid=valid))
+    assert keep.tolist() == [True, False]
