@@ -1,0 +1,177 @@
+"""Dynamic MIL refinement: proposal bags -> denoising regression -> bag
+classification -> top-k weighted selection.
+
+Capability targets in fcos_head_p2b_ts.py:
+- mil_bag_extensive (:1182): bag expansion + RoIAlign + reg tower + DeltaXYWH
+  decode + DN-DIoU denoising loss
+- mil_bag_classifier (:1240): RoIAlign on refined bags + bag tower -> cls/ins
+- mil_bag_training (:1147): bag score = sum_U2(sigmoid(cls) * masked softmax
+  (ins)), gfocal positive-bag loss + negative-bag loss
+- mil_bag_selection (:1092-1145): top-k weighted merge, beta-blend with input
+- forward_mil_head / MIL_head_burn_in_step{1,2} (:1259-1344)
+
+Everything is batched: all bags of all images go through the FC towers as one
+[B*G*U1*U2, 7*7*C] x [12544, 1024] matmul (MXU-shaped).
+"""
+from __future__ import annotations
+
+from typing import Callable, NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..ops.boxes import bbox_overlaps
+from ..ops.losses import dn_diou_loss, gfocal_loss
+from ..ops.roi_align import roi_align
+from .. import core
+from ..core.proposals import FineProposalCfg, delta_decode, fine_proposals, negative_proposals
+
+Array = jnp.ndarray
+
+
+class MILStageOut(NamedTuple):
+    refined_boxes: Array  # [B, G, 4]
+    loss_mil_bbox: Array
+    loss_mil_bags: Array
+    coarse_bags_iou: Array
+    refine_bags_iou: Array
+
+
+def _masked_mean(x: Array, mask: Array) -> Array:
+    denom = jnp.maximum(mask.sum(), 1)
+    return jnp.where(mask, x, 0.0).sum() / denom
+
+
+def mil_stage(
+    mil_regress: Callable[[Array, int], Array],
+    mil_classify: Callable[[Array, int], tuple],
+    mil_classify_neg: Optional[Callable[[Array, int], Array]],
+    mil_feat: Array,
+    boxes: Array,
+    labels: Array,
+    boxes_valid: Array,
+    real_boxes: Array,
+    fine_cfg: FineProposalCfg,
+    ext_cfg: FineProposalCfg,
+    stage: int,
+    img_hw,
+    top_k: int,
+    beta: float,
+    dn_hyper: float,
+    neg_key: Optional[Array],
+    with_bags_loss: bool,
+    roi_chunk: int = 4096,
+):
+    """One MIL refinement stage over a batch.
+
+    mil_feat [B,Hf,Wf,C]; boxes (pseudo or synthetic) [B,G,4] xyxy;
+    labels [B,G]; boxes_valid [B,G]; real_boxes [B,G,4] (diagnostics only).
+    Returns MILStageOut. `with_bags_loss=False` computes only the denoising
+    regression loss (the synthetic branch of MIL_head_burn_in_step1 uses only
+    loss_mil_bbox; its classifier output is discarded, so we skip it).
+    """
+    b, g = boxes.shape[:2]
+    hw = img_hw
+
+    # U1 base bags around each box
+    props, props_valid = jax.vmap(lambda bx: fine_proposals(bx, fine_cfg, hw))(boxes)
+    u1 = props.shape[2]
+    # U2 extensive bags around each base bag
+    ext, ext_valid = jax.vmap(
+        lambda bx: fine_proposals(bx.reshape(-1, 4), ext_cfg, hw)
+    )(props)
+    u2 = ext.shape[2]
+    ext = ext.reshape(b, g, u1, u2, 4)
+    ext_valid = ext_valid.reshape(b, g, u1, u2) & boxes_valid[:, :, None, None]
+
+    ext_ref = jnp.broadcast_to(boxes[:, :, None, None, :], ext.shape)  # reference = input box
+    ext_real = jnp.broadcast_to(real_boxes[:, :, None, None, :], ext.shape)
+
+    coarse_bags_iou = _masked_mean(
+        bbox_overlaps(ext, ext_real, is_aligned=True),
+        jnp.broadcast_to(boxes_valid[:, :, None, None], ext.shape[:-1]),
+    )
+
+    # --- denoising regression ---
+    def pool(feat, rois):
+        return roi_align(feat, rois, out_size=7, spatial_scale=1.0 / 8, chunk=roi_chunk)
+
+    roi_feats = jax.vmap(pool)(mil_feat, ext.reshape(b, -1, 4))  # [B, N, 7,7,C]
+    n = roi_feats.shape[1]
+    deltas = mil_regress(roi_feats.reshape(b * n, 7, 7, -1), stage)
+    pred = delta_decode(ext.reshape(b * n, 4), deltas, hw).reshape(b, g, u1, u2, 4)
+
+    w_valid = ext_valid.astype(pred.dtype)
+    avg = jnp.maximum((boxes_valid.sum() * u1 * u2).astype(pred.dtype), 1.0)
+    loss_mil_bbox = dn_diou_loss(
+        pred.reshape(-1, 4), ext_ref.reshape(-1, 4), weight=w_valid.reshape(-1),
+        avg_factor=avg, hyper=dn_hyper,
+    )
+
+    pred_d = jax.lax.stop_gradient(pred)
+    refine_bags_iou = _masked_mean(
+        bbox_overlaps(pred_d, ext_real, is_aligned=True),
+        jnp.broadcast_to(boxes_valid[:, :, None, None], ext.shape[:-1]),
+    )
+
+    if not with_bags_loss:
+        return MILStageOut(boxes, loss_mil_bbox, jnp.zeros(()), coarse_bags_iou,
+                           refine_bags_iou)
+
+    # --- bag classification on the refined bags ---
+    roi_feats_cls = jax.vmap(pool)(mil_feat, pred_d.reshape(b, -1, 4))
+    cls_score, ins_score = mil_classify(roi_feats_cls.reshape(b * n, 7, 7, -1), stage)
+    c = cls_score.shape[-1]
+    cls_score = cls_score.reshape(b, g, u1, u2, c)
+    ins_score = ins_score.reshape(b, g, u1, u2, c)
+
+    cls_sig = jax.nn.sigmoid(cls_score)
+    ins_soft = jax.nn.softmax(ins_score, axis=3)
+    ins_soft = ins_soft * ext_valid[..., None]
+    ins_norm = ins_soft / jnp.maximum(jnp.abs(ins_soft).sum(3, keepdims=True), 1e-12)
+
+    bag_score = (cls_sig * ins_norm).sum(3)  # [B, G, U1, C]
+    onehot = jax.nn.one_hot(labels, c, dtype=bag_score.dtype)
+    onehot = jnp.broadcast_to(onehot[:, :, None, :], bag_score.shape)
+    bag_w = (ext_valid.sum(3) > 0) & boxes_valid[:, :, None]  # [B, G, U1]
+    num_sample = jnp.maximum(bag_w.sum().astype(bag_score.dtype), 1.0)
+    loss_pos = gfocal_loss(bag_score, onehot, bag_w[..., None].astype(bag_score.dtype))
+    loss_mil_bags = loss_pos.sum() / num_sample
+
+    if mil_classify_neg is not None and neg_key is not None and fine_cfg.gen_num_neg > 0:
+        keys = jax.random.split(neg_key, b)
+        neg, neg_w = jax.vmap(
+            lambda k, p, v: negative_proposals(k, p, v, fine_cfg.gen_num_neg, hw)
+        )(keys, props, props_valid & boxes_valid[:, :, None])
+        neg_feats = jax.vmap(pool)(mil_feat, neg)
+        neg_cls = mil_classify_neg(
+            neg_feats.reshape(b * fine_cfg.gen_num_neg, 7, 7, -1), stage
+        ).reshape(b, fine_cfg.gen_num_neg, c)
+        neg_sig = jax.nn.sigmoid(neg_cls)
+        loss_neg = gfocal_loss(neg_sig, jnp.zeros_like(neg_sig),
+                               neg_w[..., None].astype(neg_sig.dtype))
+        loss_mil_bags = loss_mil_bags + loss_neg.sum() / num_sample
+
+    # --- selection: top-k weighted merge, beta blend ---
+    safe_labels = jnp.clip(labels, 0, c - 1)
+    sel_cls = jnp.take_along_axis(
+        cls_sig.reshape(b, g, u1 * u2, c), safe_labels[:, :, None, None], axis=-1
+    )[..., 0]
+    sel_ins = jnp.take_along_axis(
+        ins_norm.reshape(b, g, u1 * u2, c), safe_labels[:, :, None, None], axis=-1
+    )[..., 0]
+    sel = jax.lax.stop_gradient(sel_cls * sel_ins)  # [B, G, U1*U2]
+    top_scores, top_idx = jax.lax.top_k(sel, top_k)
+    top_boxes = jnp.take_along_axis(
+        pred_d.reshape(b, g, u1 * u2, 4), top_idx[..., None], axis=2
+    )
+    wsel = top_scores / (top_scores.sum(-1, keepdims=True) + 1e-8)
+    merged = (top_boxes * wsel[..., None]).sum(2)
+    h, w = hw
+    merged = merged.at[..., 0::2].set(jnp.clip(merged[..., 0::2], 0, w))
+    merged = merged.at[..., 1::2].set(jnp.clip(merged[..., 1::2], 0, h))
+    refined = (1 - beta) * merged + beta * boxes
+    refined = jnp.where(boxes_valid[..., None], refined, boxes)
+
+    return MILStageOut(refined, loss_mil_bbox, loss_mil_bags, coarse_bags_iou,
+                       refine_bags_iou)

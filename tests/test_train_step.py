@@ -1,0 +1,110 @@
+"""End-to-end train-step tests on tiny shapes (the analog of the reference's
+config-driven forward tests, tests/test_models/test_forward.py)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from point_teacher_tpu.core.proposals import FineProposalCfg
+from point_teacher_tpu.models.detector import StudentFCOS
+from point_teacher_tpu.train.config import PointTeacherConfig
+from point_teacher_tpu.train.optim import make_optimizer
+from point_teacher_tpu.train.state import Batch, create_train_state
+from point_teacher_tpu.train.steps import build_train_step
+
+B, IMG, G = 2, 64, 6
+
+
+@pytest.fixture(scope="module")
+def tiny():
+    cfg = PointTeacherConfig(
+        num_classes=4,
+        img_size=IMG,
+        max_gt=G,
+        batch_size=B,
+        num_training_burninstep1=G,
+        num_training_burninstep2=G,
+        fine_proposal_cfg=(
+            FineProposalCfg(base_ratios=(1.0,), shake_ratio=None, min_scale=0.0,
+                            gen_num_neg=8),
+        ),
+        fine_proposal_extensive_cfg=(
+            FineProposalCfg(base_ratios=(1.0, 1.2, 0.8), shake_ratio=None, min_scale=4.0),
+        ),
+    )
+    model = StudentFCOS(num_classes=cfg.num_classes, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    img = jnp.zeros((1, IMG, IMG, 3))
+    rois = jnp.zeros((2, 7, 7, 256))
+    params = model.init(rng, img, rois, method=StudentFCOS.init_all)
+    tx = make_optimizer(params, cfg.optim)
+    state = create_train_state(params, tx, num_images=8, max_gt=G, rng=rng)
+    step = build_train_step(model, tx, cfg)
+    return cfg, model, state, step
+
+
+def _fake_batch(seed=0, empty_image=False):
+    rng = np.random.RandomState(seed)
+    img = rng.randint(0, 255, (B, IMG, IMG, 3)).astype(np.float32)
+    cxy = rng.uniform(10, IMG - 10, (B, G, 2)).astype(np.float32)
+    wh = rng.uniform(4, 12, (B, G, 2)).astype(np.float32)
+    boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1)
+    labels = rng.randint(0, 4, (B, G)).astype(np.int32)
+    valid = np.ones((B, G), bool)
+    valid[:, -2:] = False
+    if empty_image:
+        valid[1] = False
+    return Batch(
+        image=jnp.array(img),
+        gt_boxes=jnp.array(boxes),
+        gt_labels=jnp.array(labels),
+        gt_valid=jnp.array(valid),
+        image_ids=jnp.arange(B, dtype=jnp.int32) + seed * B % 4,
+    )
+
+
+def test_phase1_step_runs_and_updates(tiny):
+    cfg, model, state, step = tiny
+    batch = _fake_batch(0)
+    new_state, metrics = step(state, batch, phase1=True)
+    for k in ("loss_cls", "loss_bbox", "loss_centerness", "total_loss",
+              "coarse_bboxes_iou", "refined_points_distance"):
+        assert k in metrics, k
+        assert np.isfinite(float(metrics[k])), (k, metrics[k])
+    assert int(new_state.step) == int(state.step) + 1
+    # student params changed, frozen BN untouched
+    p0 = state.params["params"]["backbone"]["layer1_block0"]["bn1"]["scale"]
+    p1 = new_state.params["params"]["backbone"]["layer1_block0"]["bn1"]["scale"]
+    assert np.allclose(p0, p1)
+    h0 = state.params["params"]["bbox_head"]["conv_cls"]["kernel"]
+    h1 = new_state.params["params"]["bbox_head"]["conv_cls"]["kernel"]
+    assert not np.allclose(h0, h1)
+    # point cache committed for these images
+    assert bool(new_state.points_cached[0]) and bool(new_state.points_cached[1])
+
+
+def test_phase2_step_runs(tiny):
+    cfg, model, state, step = tiny
+    batch = _fake_batch(1)
+    new_state, metrics = step(state, batch, phase1=False)
+    assert np.isfinite(float(metrics["total_loss"]))
+    assert "stage0_loss_mil_bags" in metrics
+
+
+def test_teacher_tracks_student_ema(tiny):
+    cfg, model, state, step = tiny
+    batch = _fake_batch(0)
+    s1, _ = step(state, batch, phase1=True)
+    # teacher after one step = ema(initial teacher, initial student) = initial
+    # (teacher == student at init), then diverges as student moves
+    s2, _ = step(s1, batch, phase1=True)
+    t = s2.teacher_params["params"]["bbox_head"]["conv_cls"]["kernel"]
+    st = s2.params["params"]["bbox_head"]["conv_cls"]["kernel"]
+    assert not np.allclose(np.asarray(t), np.asarray(st))
+
+
+def test_phase1_with_empty_image_is_finite(tiny):
+    cfg, model, state, step = tiny
+    batch = _fake_batch(2, empty_image=True)
+    new_state, metrics = step(state, batch, phase1=True)
+    assert np.isfinite(float(metrics["total_loss"]))
