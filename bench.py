@@ -1,0 +1,101 @@
+"""Benchmark: Point-Teacher phase-1 training throughput on one chip.
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+Baseline context (BASELINE.md): the reference trains at total batch 2 on one
+GPU and publishes no throughput numbers. mmdetection-class FCOS pipelines with
+Point-Teacher's 3 student passes + MIL + per-iteration host round trips
+(cv2.fillPoly synthesis, fcos_p2b_teacher_student.py:481-484) sustain roughly
+2 it/s * 2 imgs = ~4 imgs/s on the published single-GPU setup; vs_baseline is
+reported against that 4 imgs/s reference estimate until a measured torch
+baseline replaces it.
+"""
+import argparse
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true", help="tiny shapes (CI smoke)")
+    ap.add_argument("--steps", type=int, default=12)
+    ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--phase2", action="store_true", help="bench phase-2 instead")
+    args = ap.parse_args()
+
+    from point_teacher_tpu.core.proposals import FineProposalCfg
+    from point_teacher_tpu.train.config import PointTeacherConfig
+    from point_teacher_tpu.train.optim import make_optimizer
+    from point_teacher_tpu.train.state import Batch, create_train_state
+    from point_teacher_tpu.train.steps import build_train_step
+    from point_teacher_tpu.models.detector import StudentFCOS
+
+    if args.quick:
+        cfg = PointTeacherConfig(
+            img_size=64, max_gt=4, batch_size=args.batch,
+            num_training_burninstep1=4, num_training_burninstep2=4,
+            fine_proposal_cfg=(FineProposalCfg(base_ratios=(1.0,), gen_num_neg=8),),
+            fine_proposal_extensive_cfg=(
+                FineProposalCfg(base_ratios=(1.0, 1.2, 0.8), min_scale=4.0),),
+        )
+    else:
+        # the shipped aitodv2_point_teacher_0% geometry: 800x800, 100 GTs,
+        # U1=1, U2=25 bags, 200 negatives
+        cfg = PointTeacherConfig(batch_size=args.batch)
+
+    rng = jax.random.PRNGKey(0)
+    model = StudentFCOS(num_classes=cfg.num_classes, num_stages=cfg.num_stages,
+                        dtype=jnp.bfloat16)
+    params = model.init(
+        rng,
+        jnp.zeros((1, cfg.img_size, cfg.img_size, 3)),
+        jnp.zeros((1, 7, 7, 256)),
+        method=StudentFCOS.init_all,
+    )
+    tx = make_optimizer(params, cfg.optim)
+    state = create_train_state(params, tx, num_images=1024, max_gt=cfg.max_gt, rng=rng)
+    step = build_train_step(model, tx, cfg, donate=True)
+
+    r = np.random.RandomState(0)
+    b, g, s = args.batch, cfg.max_gt, cfg.img_size
+    cxy = r.uniform(20, s - 20, (b, g, 2))
+    wh = r.uniform(4, 16, (b, g, 2))
+    batch = Batch(
+        image=jnp.asarray(r.randint(0, 255, (b, s, s, 3)).astype(np.float32)),
+        gt_boxes=jnp.asarray(np.concatenate([cxy - wh / 2, cxy + wh / 2], -1),
+                             dtype=jnp.float32),
+        gt_labels=jnp.asarray(r.randint(0, cfg.num_classes, (b, g)), dtype=jnp.int32),
+        gt_valid=jnp.ones((b, g), bool),
+        image_ids=jnp.arange(b, dtype=jnp.int32),
+    )
+    phase1 = not args.phase2
+
+    # warmup/compile
+    state, metrics = step(state, batch, phase1=phase1)
+    jax.block_until_ready(metrics["total_loss"])
+
+    times = []
+    for _ in range(args.steps):
+        t0 = time.perf_counter()
+        state, metrics = step(state, batch, phase1=phase1)
+        jax.block_until_ready(metrics["total_loss"])
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    imgs_per_sec = args.batch / med
+
+    baseline_imgs_per_sec = 4.0  # see module docstring
+    print(json.dumps({
+        "metric": "train_imgs_per_sec_per_chip_phase1_800px" if not args.quick
+        else "train_imgs_per_sec_quick",
+        "value": round(imgs_per_sec, 3),
+        "unit": "imgs/s",
+        "vs_baseline": round(imgs_per_sec / baseline_imgs_per_sec, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,91 @@
+"""Batch loaders: host decode/resize with a background prefetch thread.
+
+Capability target: mmdet build_dataloader (datasets/builder.py, 2 workers,
+batch 2) + GroupSampler. AI-TOD images are uniformly 800x800, so the
+aspect-ratio grouping of GroupSampler is a no-op there; we shuffle uniformly.
+The double-buffered prefetch thread replaces the torch DataLoader workers —
+decode overlaps device compute, and fixed shapes mean zero recompilation.
+"""
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional
+
+import numpy as np
+
+from ..train.state import Batch
+from .coco import CocoDetDataset
+from .pipeline import pad_gts, preprocess
+
+
+class TrainLoader:
+    def __init__(self, dataset: CocoDetDataset, batch_size: int, max_gt: int,
+                 canvas: int = 800, seed: int = 0, prefetch: int = 2):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.max_gt = max_gt
+        self.canvas = canvas
+        self.rng = np.random.RandomState(seed)
+        self.prefetch = prefetch
+
+    def _make_batch(self, idxs) -> Batch:
+        imgs, boxes_l, labels_l, valid_l = [], [], [], []
+        for i in idxs:
+            ann = self.ds.get_ann(i)
+            img, boxes, _ = preprocess(self.ds.image_path(i), ann["boxes"], self.canvas)
+            b, l, v = pad_gts(boxes, ann["labels"], self.max_gt)
+            imgs.append(img)
+            boxes_l.append(b)
+            labels_l.append(l)
+            valid_l.append(v)
+        return Batch(
+            image=np.stack(imgs),
+            gt_boxes=np.stack(boxes_l),
+            gt_labels=np.stack(labels_l),
+            gt_valid=np.stack(valid_l),
+            image_ids=np.asarray(idxs, np.int32),
+        )
+
+    def epoch(self) -> Iterator[Batch]:
+        order = self.rng.permutation(len(self.ds))
+        n = (len(order) // self.batch_size) * self.batch_size
+        chunks = [order[i:i + self.batch_size] for i in range(0, n, self.batch_size)]
+
+        q: queue.Queue = queue.Queue(maxsize=self.prefetch)
+        stop = object()
+
+        def worker():
+            for c in chunks:
+                q.put(self._make_batch(c))
+            q.put(stop)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is stop:
+                break
+            yield item
+
+
+class EvalLoader:
+    def __init__(self, dataset: CocoDetDataset, batch_size: int, canvas: int = 800):
+        self.ds = dataset
+        self.batch_size = batch_size
+        self.canvas = canvas
+
+    def __iter__(self):
+        n = len(self.ds)
+        for start in range(0, n, self.batch_size):
+            idxs = list(range(start, min(start + self.batch_size, n)))
+            imgs, scales = [], []
+            for i in idxs:
+                img, _, scale = preprocess(self.ds.image_path(i), None, self.canvas)
+                imgs.append(img)
+                scales.append(scale)
+            # pad the tail batch to full size (masked by idx count)
+            while len(imgs) < self.batch_size:
+                imgs.append(np.zeros_like(imgs[0]))
+                scales.append(np.ones(4, np.float32))
+            yield idxs, np.stack(imgs), np.stack(scales)

@@ -18,10 +18,13 @@ Array = jnp.ndarray
 
 
 def _upsample_nearest_2x(x: Array, out_hw) -> Array:
-    b, h, w, c = x.shape
+    """Nearest-neighbour to the lateral's size (F.interpolate(size=...,
+    mode='nearest') index mapping — handles odd pyramid sizes)."""
     oh, ow = out_hw
-    y = jnp.repeat(jnp.repeat(x, 2, axis=1), 2, axis=2)
-    return y[:, :oh, :ow, :]
+    b, h, w, c = x.shape
+    iy = (jnp.arange(oh) * h) // oh
+    ix = (jnp.arange(ow) * w) // ow
+    return x[:, iy][:, :, ix]
 
 
 class FPN(nn.Module):

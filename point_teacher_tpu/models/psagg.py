@@ -15,11 +15,15 @@ Array = jnp.ndarray
 
 
 def _resize_nearest(x: Array, out_hw) -> Array:
+    """Nearest-neighbour resize to an arbitrary (usually ~2x) target, matching
+    F.interpolate(mode='nearest') index mapping: src = floor(dst * h / oh)."""
     oh, ow = out_hw
     b, h, w, c = x.shape
-    ry = max(1, oh // h)
-    y = jnp.repeat(jnp.repeat(x, ry, axis=1), max(1, ow // w), axis=2)
-    return y[:, :oh, :ow, :]
+    if (oh, ow) == (h, w):
+        return x
+    iy = (jnp.arange(oh) * h) // oh
+    ix = (jnp.arange(ow) * w) // ow
+    return x[:, iy][:, :, ix]
 
 
 class PSAGG(nn.Module):

@@ -1,0 +1,58 @@
+"""Training logger: averaged text lines + JSON-lines file.
+
+Capability target: mmcv LogBuffer + TextLoggerHook every 50 iters
+(configs/_base_/default_runtime.py:3-8) and the json log consumed by
+tools/analysis_tools/analyze_logs.py.
+"""
+from __future__ import annotations
+
+import json
+import os
+import time
+from collections import defaultdict
+from typing import Dict, Optional
+
+
+class LogBuffer:
+    def __init__(self):
+        self._sums: Dict[str, float] = defaultdict(float)
+        self._counts: Dict[str, int] = defaultdict(int)
+
+    def update(self, metrics: Dict[str, float]):
+        for k, v in metrics.items():
+            self._sums[k] += float(v)
+            self._counts[k] += 1
+
+    def averages(self) -> Dict[str, float]:
+        return {k: self._sums[k] / max(self._counts[k], 1) for k in self._sums}
+
+    def clear(self):
+        self._sums.clear()
+        self._counts.clear()
+
+
+class TrainLogger:
+    def __init__(self, work_dir: Optional[str] = None, interval: int = 50):
+        self.buffer = LogBuffer()
+        self.interval = interval
+        self.jsonl = None
+        if work_dir:
+            os.makedirs(work_dir, exist_ok=True)
+            self.jsonl = open(os.path.join(work_dir, "train_log.jsonl"), "a")
+        self._t0 = time.time()
+
+    def step(self, step: int, epoch: int, metrics: Dict[str, float], lr: float = 0.0):
+        self.buffer.update(metrics)
+        if step % self.interval == 0:
+            avg = self.buffer.averages()
+            dt = time.time() - self._t0
+            self._t0 = time.time()
+            loss_keys = [k for k in avg if "loss" in k]
+            msg = ", ".join(f"{k}: {avg[k]:.4f}" for k in sorted(loss_keys))
+            print(f"Epoch [{epoch}] Iter [{step}] lr: {lr:.2e}, "
+                  f"time: {dt / max(self.interval, 1):.3f}s/it, {msg}", flush=True)
+            if self.jsonl:
+                rec = dict(mode="train", epoch=epoch, iter=step, lr=lr, **avg)
+                self.jsonl.write(json.dumps(rec) + "\n")
+                self.jsonl.flush()
+            self.buffer.clear()

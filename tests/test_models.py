@@ -81,3 +81,14 @@ def test_student_fcos_bf16_params_f32_outputs(rng):
     (cls_score, bbox_pred, ctr), feat = model.apply(params, img)
     assert cls_score.dtype == jnp.float32  # head casts outputs back to f32
     assert np.isfinite(np.asarray(cls_score)).all()
+
+
+def test_student_fcos_odd_pyramid_sizes(rng):
+    # 160px -> levels 20,10,5,3,2: odd sizes exercise the nearest-resize paths
+    model = StudentFCOS(num_classes=4, dtype=jnp.float32)
+    img = jnp.ones((1, 160, 160, 3)) * 80.0
+    rois = jnp.zeros((1, 7, 7, 256))
+    params = model.init(rng, img, rois, method=StudentFCOS.init_all)
+    (cls_score, bbox_pred, ctr), feat = model.apply(params, img)
+    assert cls_score.shape == (1, 20, 20, 4)
+    assert np.isfinite(np.asarray(cls_score)).all()

