@@ -113,10 +113,14 @@ def generate_black_paper_batch(
     gt_valid: Array,
     cfg: SynCfg,
 ):
-    """images [B,H,W,3]; gt_boxes [B,G,4] xyxy; gt_valid [B,G].
+    """images [B,H,W,3]; gt_boxes [B,G,4] xyxy (HBB) or [B,G,5] rotated (OBB —
+    centres are all that is used); gt_valid [B,G].
 
-    Returns (img_syn [B,H,W,3], syn_boxes_xyxy [B,S,4], syn_valid [B,S]) with
-    S = 2G + CHAIN_SLOTS slots (occupied boxes stay as invalid slots).
+    Returns (img_syn [B,H,W,3], syn_boxes_xyxy [B,S,4], syn_rboxes [B,S,5],
+    syn_valid [B,S]) with S = G + CHAIN_SLOTS slots. The HBB path trains on
+    the axis-aligned covers (genrate_syn converts via obb2poly -> min/max,
+    fcos_p2b_teacher_student.py:487-492); the OBB path trains on the rotated
+    boxes directly (rotated_fcos_teacher_student.py:391-405).
     """
     b, h, w, _ = images.shape
     g = gt_boxes_xyxy.shape[1]
@@ -127,7 +131,10 @@ def generate_black_paper_batch(
     def one(key, img, gts, valid):
         k_cls, k_box, k_chain = jax.random.split(key, 3)
         cls_ids = jax.random.randint(k_cls, (g,), 0, n_cls)
-        cxy = (gts[:, :2] + gts[:, 2:]) * 0.5
+        if gts.shape[-1] == 5:  # rotated gts: centres stored directly
+            cxy = gts[:, :2]
+        else:
+            cxy = (gts[:, :2] + gts[:, 2:4]) * 0.5
         occ_size = prior[cls_ids, 0] * 0.7
         occupied = jnp.stack(
             [cxy[:, 0], cxy[:, 1], occ_size, occ_size, jnp.zeros(g, img.dtype),
@@ -147,7 +154,7 @@ def generate_black_paper_batch(
         mask = rasterize_rboxes(allb[:, :5], keep, h, w)
         img_syn = jnp.where(mask[:, :, None], jnp.asarray(255.0, img.dtype), img)
         # drop the occupied slots entirely (they can never be kept)
-        return img_syn, xyxy[g:], keep[g:]
+        return img_syn, xyxy[g:], allb[g:, :5], keep[g:]
 
     keys = jax.random.split(key, b)
     return jax.vmap(one)(keys, images, gt_boxes_xyxy, gt_valid)

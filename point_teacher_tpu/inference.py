@@ -54,6 +54,48 @@ def get_bboxes_single(
     )
 
 
+def build_rotated_inference_fn(model, cfg: InferenceCfg, img_size: int, stride: int = 8):
+    """Rotated test path: teacher forward -> topk -> DistanceAnglePointCoder
+    decode -> rotated multiclass NMS (iou_thr 0.1 in the SODA-A config).
+
+    Capability target: rotated_fcos_head_p2rb_ts.py get_bboxes/_get_bboxes
+    (:1000-1090) + multiclass_nms_rotated. Returns (dets [B,N,6]
+    (cx,cy,w,h,a,score), labels, valid).
+    """
+    from .ops.nms import multiclass_nms_rotated
+    from .ops.rotated import distance_angle_decode
+
+    points = grid_points(img_size // stride, img_size // stride, stride)
+
+    @jax.jit
+    def infer(params, images, scale_factors):
+        outs, _ = model.apply(params, images)
+        cls_score, bbox_pred, angle_pred, centerness = outs
+        b = cls_score.shape[0]
+        cls_f = cls_score.reshape(b, -1, cls_score.shape[-1])
+        pred5 = jnp.concatenate(
+            [bbox_pred.reshape(b, -1, 4), angle_pred.reshape(b, -1, 1)], -1
+        )
+        ctr_f = centerness.reshape(b, -1)
+
+        def single(cl, p5, ct, sf):
+            scores = jax.nn.sigmoid(cl)
+            ctr = jax.nn.sigmoid(ct)
+            nms_pre = min(cfg.nms_pre, scores.shape[0])
+            max_scores = (scores * ctr[:, None]).max(-1)
+            _, topk = jax.lax.top_k(max_scores, nms_pre)
+            rb = distance_angle_decode(points[topk], p5[topk])
+            rb = rb.at[..., :4].set(rb[..., :4] / sf[0])  # square scale factor
+            return multiclass_nms_rotated(
+                rb, scores[topk], cfg.score_thr, cfg.nms_iou, cfg.max_per_img,
+                score_factors=ctr[topk],
+            )
+
+        return jax.vmap(single)(cls_f, pred5, ctr_f, scale_factors)
+
+    return infer
+
+
 def build_inference_fn(model: StudentFCOS, cfg: InferenceCfg, img_size: int, stride: int = 8):
     """Returns jitted infer(params, images [B,H,W,3], scale_factors [B,4])
     -> (dets [B,N,5], labels [B,N], valid [B,N]). Run with the teacher params

@@ -155,6 +155,59 @@ def gfocal_loss(p: Array, q: Array, w=1.0, eps: float = 1e-6) -> Array:
     return -(l1 * l2 * w).sum(axis=-1)
 
 
+def rotated_iou_loss(pred5: Array, target5: Array, weight=None, avg_factor=None,
+                     mode: str = "log", eps: float = 1e-6, loss_weight: float = 1.0) -> Array:
+    """RotatedIoULoss (OBB_TOD/mmrotate/models/losses/rotated_iou_loss.py:149):
+    -log(IoU) (default), 1-IoU (linear) or 1-IoU^2 (square) on aligned rotated
+    boxes, with the differentiable rotated IoU (diff_iou_rotated_2d replaced by
+    our polygon-clip rbox_iou)."""
+    from .rotated import rbox_iou
+
+    ious = jnp.clip(rbox_iou(pred5, target5, aligned=True), eps, None)
+    if mode == "linear":
+        loss = 1 - ious
+    elif mode == "square":
+        loss = 1 - ious ** 2
+    else:
+        loss = -jnp.log(ious)
+    return loss_weight * weight_reduce(loss, weight, avg_factor)
+
+
+def dn_rotated_iou_loss(pred5: Array, target5: Array, weight=None, avg_factor=None,
+                        hyper: float = 0.2, mode: str = "log", eps: float = 1e-6,
+                        loss_weight: float = 1.0) -> Array:
+    """DN_IoULoss (rotated_iou_loss.py:105-147,229): min over a 3x3 bank of
+    w/h-perturbed rotated targets (w -= a*w*i, h -= a*h*j), averaged with the
+    base rotated-IoU loss."""
+    from .rotated import rbox_iou
+
+    def elem(t):
+        ious = jnp.clip(rbox_iou(pred5, t, aligned=True), eps, None)
+        if mode == "linear":
+            return 1 - ious
+        if mode == "square":
+            return 1 - ious ** 2
+        return -jnp.log(ious)
+
+    base = elem(target5)
+    a = hyper / 2
+    w = target5[..., 2]
+    h = target5[..., 3]
+    shifts = jnp.array([-1.0, 0.0, 1.0])
+    ii, jj = jnp.meshgrid(shifts, shifts, indexing="ij")
+
+    def one(i, j):
+        return jnp.stack(
+            [target5[..., 0], target5[..., 1], target5[..., 2] - a * w * i,
+             target5[..., 3] - a * h * j, target5[..., 4]], axis=-1,
+        )
+
+    bank = jax.vmap(one)(ii.reshape(-1), jj.reshape(-1))  # [9, ..., 5]
+    bank_loss = jax.vmap(elem)(bank)
+    loss = (base + bank_loss.min(axis=0)) / 2
+    return loss_weight * weight_reduce(loss, weight, avg_factor)
+
+
 def centerness_target(bbox_targets_ltrb: Array) -> Array:
     """FCOS centerness from (l, t, r, b) targets; min clamp 0.01 as in the reference."""
     lr = bbox_targets_ltrb[..., [0, 2]]

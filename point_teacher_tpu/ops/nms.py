@@ -70,6 +70,56 @@ def nms_rotated(rboxes: Array, scores: Array, iou_thr: float, valid=None) -> Arr
 
 
 @partial(jax.jit, static_argnames=("max_out", "iou_thr", "score_thr"))
+def multiclass_nms_rotated(
+    rboxes: Array,
+    scores: Array,
+    score_thr: float,
+    iou_thr: float,
+    max_out: int,
+    score_factors: Array | None = None,
+):
+    """Class-wise rotated NMS over [N, 5] rboxes and [N, C] scores.
+
+    Mirrors mmrotate multiclass_nms_rotated (bbox_nms_rotated.py): per-class
+    suppression (cross-class IoU masked to 0 — the rotated analog of the
+    coordinate-offset trick), fixed-shape output (dets [max_out, 6]
+    (cx,cy,w,h,a,score), labels, valid).
+    """
+    n, c = scores.shape
+    if score_factors is not None:
+        scores = scores * score_factors[:, None]
+    boxes_f = jnp.broadcast_to(rboxes[:, None, :], (n, c, 5)).reshape(-1, 5)
+    scores_f = scores.reshape(-1)
+    labels_f = jnp.broadcast_to(jnp.arange(c)[None, :], (n, c)).reshape(-1)
+    valid = scores_f > score_thr
+
+    cap = min(boxes_f.shape[0], max(2048, max_out))
+    top_scores, top_idx = jax.lax.top_k(jnp.where(valid, scores_f, -jnp.inf), cap)
+    top_boxes = boxes_f[top_idx]
+    top_labels = labels_f[top_idx]
+    iou = rbox_iou(top_boxes, top_boxes)
+    same = top_labels[:, None] == top_labels[None, :]
+    iou = jnp.where(same & (top_scores[None] > -jnp.inf) & (top_scores[:, None] > -jnp.inf),
+                    iou, 0.0)
+    keep = _greedy_suppress(iou, top_scores, iou_thr) & (top_scores > -jnp.inf)
+
+    final_scores = jnp.where(keep, top_scores, -jnp.inf)
+    k = min(max_out, cap)
+    out_scores, sel = jax.lax.top_k(final_scores, k)
+    sel_idx = top_idx[sel]
+    out_valid = out_scores > -jnp.inf
+    out_scores = jnp.where(out_valid, out_scores, 0.0)
+    dets = jnp.concatenate([boxes_f[sel_idx], out_scores[:, None]], axis=-1)
+    out_labels = jnp.where(out_valid, labels_f[sel_idx], -1)
+    if k < max_out:
+        pad = max_out - k
+        dets = jnp.pad(dets, ((0, pad), (0, 0)))
+        out_labels = jnp.pad(out_labels, (0, pad), constant_values=-1)
+        out_valid = jnp.pad(out_valid, (0, pad))
+    return dets, out_labels, out_valid
+
+
+@partial(jax.jit, static_argnames=("max_out", "iou_thr", "score_thr"))
 def multiclass_nms(
     boxes: Array,
     scores: Array,

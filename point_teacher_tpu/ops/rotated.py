@@ -148,6 +148,42 @@ def rbox_intersection_area(r1: Array, r2: Array) -> Array:
     return _poly_area(poly, valid)
 
 
+def norm_angle_le90(a: Array) -> Array:
+    """Normalise angles into [-pi/2, pi/2) (le90 convention)."""
+    return (a + jnp.pi / 2) % jnp.pi - jnp.pi / 2
+
+
+def distance_angle_decode(points: Array, pred5: Array) -> Array:
+    """DistanceAnglePointCoder.decode (mmrotate): (l, t, r, b, theta) at
+    `points` -> (cx, cy, w, h, theta). Reference: rotated_fcos_head_p2rb_ts.py
+    decodes with self.bbox_coder (config DistanceAnglePointCoder, le90)."""
+    l, t, r, b = pred5[..., 0], pred5[..., 1], pred5[..., 2], pred5[..., 3]
+    x1 = points[..., 0] - l
+    y1 = points[..., 1] - t
+    x2 = points[..., 0] + r
+    y2 = points[..., 1] + b
+    return jnp.stack(
+        [(x1 + x2) * 0.5, (y1 + y2) * 0.5, x2 - x1, y2 - y1, pred5[..., 4]], axis=-1
+    )
+
+
+def rbox_ltrb_targets(points: Array, rboxes: Array) -> Array:
+    """(l, t, r, b) of each point in each rotated box's frame.
+
+    points [P, 2], rboxes [G, 5] -> [P, G, 4]. Mirrors the rotated FCOS target
+    construction (rotated_fcos_head_p2rb_ts.py:690-707): offset rotated into
+    the box frame, then w/2 +- ox, h/2 +- oy.
+    """
+    d = points[:, None, :] - rboxes[None, :, :2]  # [P, G, 2]
+    a = rboxes[None, :, 4]
+    cos, sin = jnp.cos(a), jnp.sin(a)
+    ox = cos * d[..., 0] + sin * d[..., 1]
+    oy = -sin * d[..., 0] + cos * d[..., 1]
+    w = rboxes[None, :, 2]
+    h = rboxes[None, :, 3]
+    return jnp.stack([w / 2 + ox, h / 2 + oy, w / 2 - ox, h / 2 - oy], axis=-1)
+
+
 def rbox_iou(rb1: Array, rb2: Array, aligned: bool = False, eps: float = 1e-6) -> Array:
     """Rotated IoU. Pairwise [M,5]x[N,5]->[M,N]; aligned [M,5]x[M,5]->[M].
 
@@ -163,3 +199,17 @@ def rbox_iou(rb1: Array, rb2: Array, aligned: bool = False, eps: float = 1e-6) -
     a1 = r1[..., 2] * r1[..., 3]
     a2 = r2[..., 2] * r2[..., 3]
     return inter / jnp.maximum(a1 + a2 - inter, eps)
+
+
+def rbox_iou_chunked(rb1: Array, rb2: Array, chunk: int = 256, eps: float = 1e-6) -> Array:
+    """Pairwise rotated IoU computed in row chunks: the polygon-clip
+    intermediates are O(M*N*32) floats, so full [M, N] at once blows memory
+    for NMS-sized inputs. [M,5] x [N,5] -> [M,N]."""
+    m = rb1.shape[0]
+    if m <= chunk:
+        return rbox_iou(rb1, rb2, eps=eps)
+    pad = (-m) % chunk
+    rb1p = jnp.pad(rb1, ((0, pad), (0, 0)), constant_values=1.0)
+    blocks = rb1p.reshape(-1, chunk, 5)
+    out = jax.lax.map(lambda b: rbox_iou(b, rb2, eps=eps), blocks)
+    return out.reshape(-1, rb2.shape[0])[:m]

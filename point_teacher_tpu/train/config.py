@@ -33,6 +33,7 @@ class OptimCfg(NamedTuple):
     max_epochs: int = 12
     iters_per_epoch: int = 5000
     frozen_stages: int = 1  # stem + layer1 (+ all FrozenBN regardless)
+    bn_affine_trainable: bool = False  # OBB config: norm requires_grad=True
 
 
 class InferenceCfg(NamedTuple):
@@ -113,6 +114,40 @@ def _noisy_proposals():
                         min_scale=16.0),
     )
     return fine, ext
+
+
+SODAA_SHAPE_LIST = (
+    (20, 20, 0.5, 0.5), (10, 20, 0.5, 0.5), (10, 30, 0.5, 0.5),
+    (40, 20, 0.5, 0.5), (30, 10, 0.5, 0.5),
+    (20, 50, 0.5, 0.5), (30, 20, 0.5, 0.5), (35, 40, 0.6, 0.5),
+)
+
+
+def config_sodaa(**overrides) -> PointTeacherConfig:
+    """OBB_TOD/configs/point teacher/sodaa_fcos_pointteacher_1x.py equivalent:
+    9 classes, 1200px patches, burn_in 8000, centre points, top_k 3,
+    rotated test NMS iou 0.1, nms_pre/max_per_img 2000, trainable BN affine."""
+    fine = FineProposalCfg(base_ratios=(1.0,), shake_ratio=None, min_scale=0.0,
+                           gen_num_neg=200)
+    base = dict(
+        num_classes=9,
+        img_size=1200,
+        burn_in_step=8000,
+        position=0.0,  # _point_='center'
+        top_k=3,
+        fine_proposal_cfg=(fine, fine),
+        fine_proposal_extensive_cfg=(
+            FineProposalCfg(base_ratios=(1.0, 1.2, 1.3, 0.8, 0.6), shake_ratio=None,
+                            min_scale=4.0),
+            FineProposalCfg(base_ratios=(1.0, 1.3, 0.8), shake_ratio=None,
+                            min_scale=4.0),
+        ),
+        shape_list=SODAA_SHAPE_LIST,
+        test=InferenceCfg(nms_pre=2000, score_thr=0.05, nms_iou=0.1, max_per_img=2000),
+        optim=OptimCfg(bn_affine_trainable=True),
+    )
+    base.update(overrides)
+    return PointTeacherConfig(**base)
 
 
 def config_noisy(position: float, **overrides) -> PointTeacherConfig:

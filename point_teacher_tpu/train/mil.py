@@ -42,6 +42,157 @@ def _masked_mean(x: Array, mask: Array) -> Array:
     return jnp.where(mask, x, 0.0).sum() / denom
 
 
+def mil_stage_rotated(
+    mil_regress,
+    mil_classify,
+    mil_classify_neg,
+    mil_feat: Array,
+    rboxes: Array,          # [B, G, 5] (cx, cy, w, h, a)
+    labels: Array,
+    boxes_valid: Array,
+    real_rboxes: Array,     # [B, G, 5]
+    fine_cfg: FineProposalCfg,
+    ext_cfg: FineProposalCfg,
+    stage: int,
+    img_hw,
+    top_k: int,
+    beta: float,
+    dn_hyper: float,
+    neg_key,
+    with_bags_loss: bool,
+    roi_chunk: int = 1024,
+):
+    """Rotated MIL stage (rotated_fcos_head_p2rb_ts.py mil_bag_* :1198-1365).
+
+    Bags are rotated boxes whose (w, h) come from jittering the axis-aligned
+    (cx, cy, w, h) part while the pseudo angle is carried through
+    (MIL_gen_proposals_from_cfg OBB :26-41). Pooling uses RoIAlignRotated; the
+    regression tower refines the HBB part with the DN-DIoU denoising loss and
+    the angle is re-attached; selection merges 5-dim boxes.
+    """
+    from ..ops.boxes import cxcywh_to_xyxy, xyxy_to_cxcywh
+    from ..ops.roi_align import roi_align_rotated
+    from ..ops.rotated import rbox_iou
+
+    b, g = rboxes.shape[:2]
+    hw = img_hw
+
+    hbb = cxcywh_to_xyxy(rboxes[..., :4])
+    props, props_valid = jax.vmap(lambda bx: fine_proposals(bx, fine_cfg, hw))(hbb)
+    u1 = props.shape[2]
+    angles1 = jnp.broadcast_to(rboxes[..., None, 4], (b, g, u1))
+    ext, ext_valid = jax.vmap(
+        lambda bx: fine_proposals(bx.reshape(-1, 4), ext_cfg, hw)
+    )(props)
+    u2 = ext.shape[2]
+    ext = ext.reshape(b, g, u1, u2, 4)
+    ext_valid = ext_valid.reshape(b, g, u1, u2) & boxes_valid[:, :, None, None]
+    ext_angle = jnp.broadcast_to(angles1[..., None], (b, g, u1, u2))
+    ext_rb = jnp.concatenate(
+        [xyxy_to_cxcywh(ext), ext_angle[..., None]], -1
+    )  # [B, G, U1, U2, 5]
+
+    ext_ref = jnp.broadcast_to(rboxes[:, :, None, None, :], ext_rb.shape)
+    ext_real = jnp.broadcast_to(real_rboxes[:, :, None, None, :], ext_rb.shape)
+    vmask4 = jnp.broadcast_to(boxes_valid[:, :, None, None], ext_rb.shape[:-1])
+
+    coarse_bags_iou = _masked_mean(
+        rbox_iou(ext_rb.reshape(-1, 5), ext_real.reshape(-1, 5), aligned=True),
+        vmask4.reshape(-1),
+    )
+
+    def pool(feat, rr):
+        return roi_align_rotated(feat, rr, out_size=7, spatial_scale=1.0 / 8,
+                                 chunk=roi_chunk)
+
+    roi_feats = jax.vmap(pool)(mil_feat, ext_rb.reshape(b, -1, 5))
+    n = roi_feats.shape[1]
+    deltas = mil_regress(roi_feats.reshape(b * n, 7, 7, -1), stage)
+    pred_hbb = delta_decode(ext.reshape(b * n, 4), deltas, hw)  # xyxy
+
+    ref_hbb = cxcywh_to_xyxy(ext_ref[..., :4]).reshape(-1, 4)
+    w_valid = ext_valid.astype(pred_hbb.dtype)
+    avg = jnp.maximum((boxes_valid.sum() * u1 * u2).astype(pred_hbb.dtype), 1.0)
+    loss_mil_bbox = dn_diou_loss(
+        pred_hbb, ref_hbb, weight=w_valid.reshape(-1), avg_factor=avg, hyper=dn_hyper,
+    )
+
+    pred_d = jax.lax.stop_gradient(pred_hbb)
+    refined_rb = jnp.concatenate(
+        [xyxy_to_cxcywh(pred_d).reshape(b, g, u1, u2, 4), ext_angle[..., None]], -1
+    )
+    refine_bags_iou = _masked_mean(
+        rbox_iou(refined_rb.reshape(-1, 5), ext_real.reshape(-1, 5), aligned=True),
+        vmask4.reshape(-1),
+    )
+
+    if not with_bags_loss:
+        return MILStageOut(rboxes, loss_mil_bbox, jnp.zeros(()), coarse_bags_iou,
+                           refine_bags_iou)
+
+    roi_feats_cls = jax.vmap(pool)(mil_feat, refined_rb.reshape(b, -1, 5))
+    cls_score, ins_score = mil_classify(roi_feats_cls.reshape(b * n, 7, 7, -1), stage)
+    c = cls_score.shape[-1]
+    cls_score = cls_score.reshape(b, g, u1, u2, c)
+    ins_score = ins_score.reshape(b, g, u1, u2, c)
+
+    cls_sig = jax.nn.sigmoid(cls_score)
+    ins_soft = jax.nn.softmax(ins_score, axis=3) * ext_valid[..., None]
+    ins_norm = ins_soft / jnp.maximum(jnp.abs(ins_soft).sum(3, keepdims=True), 1e-12)
+    bag_score = (cls_sig * ins_norm).sum(3)
+    onehot = jnp.broadcast_to(
+        jax.nn.one_hot(labels, c, dtype=bag_score.dtype)[:, :, None, :], bag_score.shape
+    )
+    bag_w = (ext_valid.sum(3) > 0) & boxes_valid[:, :, None]
+    num_sample = jnp.maximum(bag_w.sum().astype(bag_score.dtype), 1.0)
+    loss_mil_bags = gfocal_loss(
+        bag_score, onehot, bag_w[..., None].astype(bag_score.dtype)
+    ).sum() / num_sample
+
+    if mil_classify_neg is not None and neg_key is not None and fine_cfg.gen_num_neg > 0:
+        keys = jax.random.split(neg_key, b)
+        neg, neg_w = jax.vmap(
+            lambda k, p, v: negative_proposals(k, p, v, fine_cfg.gen_num_neg, hw)
+        )(keys, props, props_valid & boxes_valid[:, :, None])
+        neg_rb = jnp.concatenate(
+            [xyxy_to_cxcywh(neg), jnp.zeros((*neg.shape[:-1], 1), neg.dtype)], -1
+        )
+        neg_feats = jax.vmap(pool)(mil_feat, neg_rb)
+        neg_cls = mil_classify_neg(
+            neg_feats.reshape(b * fine_cfg.gen_num_neg, 7, 7, -1), stage
+        ).reshape(b, fine_cfg.gen_num_neg, c)
+        neg_sig = jax.nn.sigmoid(neg_cls)
+        loss_mil_bags = loss_mil_bags + gfocal_loss(
+            neg_sig, jnp.zeros_like(neg_sig), neg_w[..., None].astype(neg_sig.dtype)
+        ).sum() / num_sample
+
+    safe_labels = jnp.clip(labels, 0, c - 1)
+    sel_cls = jnp.take_along_axis(
+        cls_sig.reshape(b, g, u1 * u2, c), safe_labels[:, :, None, None], axis=-1
+    )[..., 0]
+    sel_ins = jnp.take_along_axis(
+        ins_norm.reshape(b, g, u1 * u2, c), safe_labels[:, :, None, None], axis=-1
+    )[..., 0]
+    sel = jax.lax.stop_gradient(sel_cls * sel_ins)
+    top_scores, top_idx = jax.lax.top_k(sel, top_k)
+    top_boxes = jnp.take_along_axis(
+        refined_rb.reshape(b, g, u1 * u2, 5), top_idx[..., None], axis=2
+    )
+    wsel = top_scores / (top_scores.sum(-1, keepdims=True) + 1e-8)
+    merged = (top_boxes * wsel[..., None]).sum(2)
+    h, w = hw
+    # reference quirk (mil_bag_selection_single OBB :1211-1212): only the
+    # centre is clamped, first to [0, w] then [0, h]
+    merged = merged.at[..., 0:2].set(
+        jnp.clip(jnp.clip(merged[..., 0:2], 0, w), 0, h)
+    )
+    refined = (1 - beta) * merged + beta * rboxes
+    refined = jnp.where(boxes_valid[..., None], refined, rboxes)
+
+    return MILStageOut(refined, loss_mil_bbox, loss_mil_bags, coarse_bags_iou,
+                       refine_bags_iou)
+
+
 def mil_stage(
     mil_regress: Callable[[Array, int], Array],
     mil_classify: Callable[[Array, int], tuple],

@@ -25,11 +25,22 @@ def _path_names(path) -> list:
     return [getattr(k, "key", getattr(k, "name", str(k))) for k in path]
 
 
-def param_label(path, frozen_stages: int) -> str:
+def param_label(path, frozen_stages: int, bn_affine_trainable: bool = False) -> str:
     names = _path_names(path)
-    joined = "/".join(str(n) for n in names)
-    # FrozenBN subtrees: module names contain 'bn'
+    # FrozenBN subtrees: module names contain 'bn'. Running stats (mean/var)
+    # are always frozen; the affine (scale/bias) trains when the config asks
+    # (the SODA-A backbone uses norm_cfg requires_grad=True,
+    # sodaa_fcos_pointteacher_1x.py:34 — HBB freezes it, :34 of the 0% config).
     if any("bn" in str(n) for n in names[:-1]):
+        leaf = str(names[-1])
+        in_frozen_stage = any(
+            str(n).startswith("stem") or any(
+                str(n).startswith(f"layer{s}_") for s in range(1, frozen_stages + 1)
+            )
+            for n in names
+        )
+        if bn_affine_trainable and leaf in ("scale", "bias") and not in_frozen_stage:
+            return "base"
         return "frozen"
     for s in range(frozen_stages + 1):
         tag = "stem" if s == 0 else f"layer{s}_"
@@ -56,7 +67,8 @@ def make_lr_schedule(cfg: OptimCfg, lr_mult: float = 1.0):
 
 def make_optimizer(params, cfg: OptimCfg) -> optax.GradientTransformation:
     labels = jax.tree_util.tree_map_with_path(
-        lambda path, _: param_label(path, cfg.frozen_stages), params
+        lambda path, _: param_label(path, cfg.frozen_stages, cfg.bn_affine_trainable),
+        params,
     )
 
     def sgd(lr_mult: float, wd: float):

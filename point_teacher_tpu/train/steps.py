@@ -173,7 +173,7 @@ def build_train_step(model: StudentFCOS, tx, cfg: PointTeacherConfig, donate: bo
         metrics["pseudo_mean_iou"] = ps["mean_iou"].mean()
 
         if phase1:
-            img_syn, syn_boxes, syn_valid = generate_black_paper_batch(
+            img_syn, syn_boxes, _, syn_valid = generate_black_paper_batch(
                 k_syn, batch.image, batch.gt_boxes, batch.gt_valid, cfg.syn_cfg
             )
             # compact valid synthetic boxes to the front so the [:num_training]
