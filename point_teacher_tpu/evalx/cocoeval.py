@@ -93,6 +93,8 @@ class COCOStyleEval:
         iou_thrs: Sequence[float] = (0.25,),
         max_dets: Sequence[int] = (100, 300, 1500),
         area_rngs=AITOD_AREA_RNGS,
+        iou_fn=None,
+        area_fn=None,
     ):
         assert len(gt["annotations"]) == len(dets)
         self.gt = gt
@@ -101,6 +103,13 @@ class COCOStyleEval:
         self.max_dets = sorted(max_dets)
         self.area_rngs = area_rngs
         self.num_classes = len(gt["classes"])
+        # pluggable geometry: rotated evaluation (SODA-A) passes a rotated IoU
+        # and area = w * h; default is axis-aligned xyxy
+        self.iou_fn = iou_fn or _iou_xyxy
+        self.area_fn = area_fn or (
+            lambda b: (b[:, 2] - b[:, 0]) * (b[:, 3] - b[:, 1]) if len(b)
+            else np.zeros(0)
+        )
 
     def _per_class_data(self, c: int):
         """Collect per-image det/gt arrays for class c."""
@@ -126,7 +135,7 @@ class COCOStyleEval:
         for c in range(self.num_classes):
             data = self._per_class_data(c)
             ious = [
-                _iou_xyxy(d[:md_max, :4], g) for (d, s, g) in data
+                self.iou_fn(d[:md_max], g) for (d, s, g) in data
             ]
             for ai, (aname, a0, a1) in enumerate(self.area_rngs):
                 for ti, thr in enumerate(self.iou_thrs):
@@ -135,13 +144,12 @@ class COCOStyleEval:
                     for (d, s, g), iou in zip(data, ious):
                         d = d[:md_max]
                         s = s[:md_max]
-                        garea = (g[:, 2] - g[:, 0]) * (g[:, 3] - g[:, 1])
+                        garea = self.area_fn(g)
                         gt_ig = (garea < a0) | (garea > a1)
                         dt_iou, dt_ig, n_reg = _match_img(
-                            np.concatenate([d, s[:, None]], -1) if len(d) else d.reshape(0, 4),
-                            g, gt_ig, thr, iou=iou,
+                            d, g, gt_ig, thr, iou=iou,
                         )
-                        darea = (d[:, 2] - d[:, 0]) * (d[:, 3] - d[:, 1]) if len(d) else np.zeros(0)
+                        darea = self.area_fn(d)
                         dt_out = (dt_iou < 0) & ((darea < a0) | (darea > a1))
                         ignore_all.append(dt_ig | dt_out)
                         scores_all.append(s)
@@ -158,14 +166,8 @@ class COCOStyleEval:
                     keep = ~ig_cat
                     tp = ((match_cat >= 0) & keep).astype(np.float64)
                     fp = ((match_cat < 0) & keep).astype(np.float64)
-                    # AR per maxDet (counted over kept dets)
-                    kept_idx = np.nonzero(keep)[0]
+                    # AR per maxDet (per-image det cap, re-matched at md)
                     for mi, md in enumerate(self.max_dets):
-                        sel = kept_idx[:  # dets are per-image capped already at md_max;
-                                        # global cap approximates per-image md cap
-                                        len(kept_idx)]
-                        tp_md = tp.copy()
-                        # per-image maxDet cap:
                         recall[ti, c, ai, mi] = self._recall_at_maxdet(
                             data, ious, thr, (a0, a1), md, ngt
                         )
@@ -182,8 +184,8 @@ class COCOStyleEval:
                         q[ri] = pr[pi] if pi < len(pr) else 0.0
                     precision[ti, :, c, ai] = q
 
-                    # oLRP on area 'all' at the first IoU threshold
-                    if aname == "all" and ti == 0:
+                    # oLRP on the primary (full) area range at the first IoU thr
+                    if ai == 0 and ti == 0:
                         olrp[c] = _olrp(scores_sorted[keep], match_cat[keep], ngt, thr)
         self.precision = precision
         self.recall = recall
@@ -195,40 +197,36 @@ class COCOStyleEval:
         tp_total = 0
         for (d, s, g), iou in zip(data, ious):
             d = d[:md]
-            garea = (g[:, 2] - g[:, 0]) * (g[:, 3] - g[:, 1])
+            garea = self.area_fn(g)
             gt_ig = (garea < a0) | (garea > a1)
             dt_iou, dt_ig, _ = _match_img(
-                np.concatenate([d, s[:md, None]], -1) if len(d) else d.reshape(0, 4),
-                g, gt_ig, thr, iou=iou[:md] if len(iou) else iou,
+                d, g, gt_ig, thr, iou=iou[:md] if len(iou) else iou,
             )
             tp_total += int(((dt_iou >= 0) & ~dt_ig).sum())
         return tp_total / ngt if ngt else -1.0
 
     def summarize(self) -> Dict[str, float]:
-        def ap(ti=None, area="all"):
-            ai = [n for n, (a, _, _) in enumerate(self.area_rngs)].index(
-                [n for n, (a, _, _) in enumerate(self.area_rngs) if a == area][0]
-            ) if False else [a for (a, _, _) in self.area_rngs].index(area)
+        area_names = [a for (a, _, _) in self.area_rngs]
+
+        def ap(ti=None, area=area_names[0]):
+            ai = area_names.index(area)
             p = self.precision[:, :, :, ai] if ti is None else self.precision[ti:ti + 1, :, :, ai]
             valid = p > -1
             return float(p[valid].mean()) if valid.any() else -1.0
 
-        def ar(area="all", mi=-1):
-            ai = [a for (a, _, _) in self.area_rngs].index(area)
+        def ar(area=area_names[0], mi=-1):
+            ai = area_names.index(area)
             r = self.recall[:, :, ai, mi]
             valid = r > -1
             return float(r[valid].mean()) if valid.any() else -1.0
 
-        stats = {
-            "mAP": ap(),
-            "mAP_vt": ap(area="vt"),
-            "mAP_t": ap(area="t"),
-            "mAP_s": ap(area="s"),
-            "mAP_m": ap(area="m"),
-        }
+        primary = area_names[0]
+        stats = {"mAP": ap()}
+        for a in area_names[1:]:
+            stats[f"mAP_{a}"] = ap(area=a)
         for mi, md in enumerate(self.max_dets):
             stats[f"AR@{md}"] = ar(mi=mi)
-        for a in ("vt", "t", "s", "m"):
+        for a in area_names[1:]:
             stats[f"AR_{a}@{self.max_dets[-1]}"] = ar(area=a, mi=len(self.max_dets) - 1)
         valid_lrp = self.olrp[:, 0] > -1
         if valid_lrp.any():

@@ -52,8 +52,84 @@ def _bilinear_gather(feat_flat: Array, h: int, w: int, x: Array, y: Array) -> Ar
     return jnp.where(valid[..., None], out, 0.0)
 
 
+def _hat_weights(coords: Array, size: int) -> Array:
+    """Bilinear interpolation as dense 'hat' weights over an axis.
+
+    coords [..., S] absolute (continuous) feature coords -> [..., size] weights
+    averaged over the S samples. Matches the gather-based bilinear exactly:
+    mmcv border rule (|coord| beyond [-1, size] contributes 0), clamp-to-border
+    inside that range.
+    """
+    valid = (coords >= -1.0) & (coords <= size * 1.0)
+    c = jnp.clip(coords, 0.0, size - 1.0)
+    k = jnp.arange(size, dtype=coords.dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(c[..., None] - k))  # [..., S, size]
+    w = w * valid[..., None]
+    return w.mean(axis=-2)  # average the S samples of each bin
+
+
 @partial(jax.jit, static_argnames=("out_size", "sampling_ratio", "spatial_scale", "chunk"))
-def roi_align(
+def roi_align_matmul(
+    feat: Array,
+    rois: Array,
+    out_size: int = 7,
+    spatial_scale: float = 1.0 / 8,
+    sampling_ratio: int = 2,
+    chunk: int = 256,
+) -> Array:
+    """RoIAlign as two separable MXU matmuls (TPU hot path).
+
+    Bilinear sampling is axis-separable, so pooling a roi is
+    out = Wy @ feat @ Wx^T with per-roi 'hat' weight matrices [out, H]/[out, W]
+    that fold the per-bin sample average. Numerically identical to the
+    gather-based version (same border rules) but runs on the MXU instead of
+    scattering gathers across HBM: ~50 GFLOP for 2500 rois on a 100x100x256
+    map vs ~2M row-gathers.
+    """
+    h, w, c = feat.shape
+    n = rois.shape[0]
+    s = sampling_ratio
+
+    x1 = rois[:, 0] * spatial_scale
+    y1 = rois[:, 1] * spatial_scale
+    x2 = rois[:, 2] * spatial_scale
+    y2 = rois[:, 3] * spatial_scale
+    bin_w = jnp.maximum(x2 - x1, 1e-6) / out_size
+    bin_h = jnp.maximum(y2 - y1, 1e-6) / out_size
+    offs = (jnp.arange(s, dtype=feat.dtype) + 0.5) / s
+    bins = jnp.arange(out_size, dtype=feat.dtype)
+    frac = bins[:, None] + offs[None, :]  # [out, s]
+
+    sx = x1[:, None, None] + frac[None] * bin_w[:, None, None] - 0.5  # [N, out, s]
+    sy = y1[:, None, None] + frac[None] * bin_h[:, None, None] - 0.5
+
+    wy = _hat_weights(sy, h)  # [N, out, H]
+    wx = _hat_weights(sx, w)  # [N, out, W]
+
+    feat_c = feat.astype(jnp.float32)
+
+    def one_chunk(args):
+        wy_c, wx_c = args
+        tmp = jnp.einsum("nih,hwc->niwc", wy_c, feat_c,
+                         preferred_element_type=jnp.float32)
+        return jnp.einsum("njw,niwc->nijc", wx_c, tmp,
+                          preferred_element_type=jnp.float32)
+
+    if n <= chunk:
+        return one_chunk((wy, wx)).astype(feat.dtype)
+    pad = (-n) % chunk
+    wy_p = jnp.pad(wy, ((0, pad), (0, 0), (0, 0))).reshape(-1, chunk, out_size, h)
+    wx_p = jnp.pad(wx, ((0, pad), (0, 0), (0, 0))).reshape(-1, chunk, out_size, w)
+    out = jax.lax.map(one_chunk, (wy_p, wx_p))
+    return out.reshape(-1, out_size, out_size, c)[:n].astype(feat.dtype)
+
+
+# The MXU formulation is the default RoIAlign on the training path.
+roi_align = roi_align_matmul
+
+
+@partial(jax.jit, static_argnames=("out_size", "sampling_ratio", "spatial_scale", "chunk"))
+def roi_align_gather(
     feat: Array,
     rois: Array,
     out_size: int = 7,
@@ -62,7 +138,8 @@ def roi_align(
     chunk: int = 1024,
 ) -> Array:
     """feat [H, W, C] (single image, NHWC-sliced), rois [N, 4] xyxy in image
-    coords -> [N, out, out, C]."""
+    coords -> [N, out, out, C]. Reference gather implementation (golden oracle
+    for roi_align_matmul; also fine on CPU)."""
     h, w, c = feat.shape
     feat_flat = feat.reshape(h * w, c)
     n = rois.shape[0]

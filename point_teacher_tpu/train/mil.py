@@ -211,7 +211,7 @@ def mil_stage(
     dn_hyper: float,
     neg_key: Optional[Array],
     with_bags_loss: bool,
-    roi_chunk: int = 4096,
+    roi_chunk: int = 128,
 ):
     """One MIL refinement stage over a batch.
 

@@ -92,3 +92,29 @@ def test_roi_align_rotated_90deg_transposes():
     b = np.asarray(roi_align_rotated(feat, rot))[0, :, :, 0]
     # 90° rotation of the sampling grid: b[i, j] == a[j, out-1-i]
     assert np.allclose(b, np.rot90(a, k=1), atol=1e-4)
+
+
+def test_roi_align_matmul_matches_gather():
+    from point_teacher_tpu.ops.roi_align import roi_align_gather, roi_align_matmul
+
+    rng = np.random.RandomState(5)
+    feat = jnp.array(rng.randn(20, 24, 8).astype(np.float32))
+    xy = rng.uniform(-10, 150, (23, 2)).astype(np.float32)
+    wh = rng.uniform(4, 120, (23, 2)).astype(np.float32)
+    rois = jnp.array(np.concatenate([xy, xy + wh], -1))
+    a = roi_align_gather(feat, rois, sampling_ratio=2)
+    b = roi_align_matmul(feat, rois, sampling_ratio=2)
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-4), \
+        np.abs(np.asarray(a) - np.asarray(b)).max()
+
+
+def test_roi_align_matmul_chunked():
+    from point_teacher_tpu.ops.roi_align import roi_align_matmul
+
+    rng = np.random.RandomState(6)
+    feat = jnp.array(rng.randn(16, 16, 4).astype(np.float32))
+    xy = rng.uniform(0, 100, (37, 2)).astype(np.float32)
+    rois = jnp.array(np.concatenate([xy, xy + 20], -1))
+    a = roi_align_matmul(feat, rois, chunk=8)
+    b = roi_align_matmul(feat, rois, chunk=256)
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)

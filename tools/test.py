@@ -50,7 +50,13 @@ def main():
 
     cfg = apply_overrides(load_config(args.config), args.cfg_options)
     pt = cfg["pt"]
-    model = StudentFCOS(
+    rotated = bool(cfg.get("rotated", False))
+    if rotated:
+        from point_teacher_tpu.models.rotated_detector import StudentRotatedFCOS
+        model_cls = StudentRotatedFCOS
+    else:
+        model_cls = StudentFCOS
+    model = model_cls(
         num_classes=pt.num_classes, num_stages=pt.num_stages, dtype=jnp.bfloat16,
         **{k: v for k, v in cfg.get("model", {}).items()
            if k in ("depth", "backbone_style")},
@@ -58,7 +64,7 @@ def main():
     rng = jax.random.PRNGKey(0)
     params = model.init(
         rng, jnp.zeros((1, pt.img_size, pt.img_size, 3)),
-        jnp.zeros((1, 7, 7, 256)), method=StudentFCOS.init_all,
+        jnp.zeros((1, 7, 7, 256)), method=model_cls.init_all,
     )
 
     if args.checkpoint:
@@ -80,9 +86,48 @@ def main():
         eval_params = params
         print("WARNING: no checkpoint given — evaluating random init")
 
-    infer = build_inference_fn(model, pt.test, pt.img_size, pt.stride)
+    if rotated:
+        from point_teacher_tpu.inference import build_rotated_inference_fn
+        infer = build_rotated_inference_fn(model, pt.test, pt.img_size, pt.stride)
+    else:
+        infer = build_inference_fn(model, pt.test, pt.img_size, pt.stride)
+
+    if rotated and not args.synthetic_data:
+        # SODA-A: per-patch inference -> translate + rotated-NMS merge -> eval
+        from point_teacher_tpu.data.loader import EvalLoader
+        from point_teacher_tpu.data.sodaa import SODAADataset
+        from point_teacher_tpu.evalx.sodaa import merge_patch_detections, sodaa_evaluate
+
+        ds = SODAADataset(cfg["dataset"]["val_ann"], cfg["dataset"]["val_img_prefix"],
+                          ori_ann_folder=cfg["dataset"].get("ori_val_ann"))
+        loader = EvalLoader(ds, pt.batch_size, pt.img_size)
+        patch_names, patch_dets = [], []
+        for idxs, imgs, scales in loader:
+            d, l, v = infer(eval_params, jnp.asarray(imgs), jnp.asarray(scales))
+            d, l, v = np.asarray(d), np.asarray(l), np.asarray(v)
+            for bi, i in enumerate(idxs):
+                keep = v[bi]
+                patch_names.append(ds.infos[i]["filename"])
+                patch_dets.append((d[bi, keep, :5], d[bi, keep, 5], l[bi, keep]))
+        merged = merge_patch_detections(patch_names, patch_dets, pt.num_classes)
+        gt = ds.ori_gt()
+        dets_per_img = [
+            merged.get(name.replace(".jpg", ""), merged.get(name,
+                       (np.zeros((0, 5), np.float32), np.zeros(0), np.zeros(0))))
+            for name in [i.rsplit(".", 1)[0] for i in gt["img_ids"]]
+        ]
+        stats = sodaa_evaluate(gt, dets_per_img)
+        print("\n--- SODA-A rotated metrics (AP over IoU .5:.95) ---")
+        for k, v in stats.items():
+            if k != "per_class":
+                print(f"{k:>24s}: {v:.4f}")
+        print("\nper-class AP:")
+        for cls, ap in stats.get("per_class", {}).items():
+            print(f"{cls:>24s}: {ap:.4f}")
+        return
 
     dets_per_img = []
+    box_dim = 5 if rotated else 4
     if args.synthetic_data:
         gt_annotations = []
         r = np.random.RandomState(0)
@@ -95,15 +140,28 @@ def main():
             for b in range(bs):
                 cxy = r.uniform(20, pt.img_size - 20, (g, 2))
                 wh = r.uniform(6, 20, (g, 2))
-                boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).astype(np.float32)
+                if rotated:
+                    ang = r.uniform(-np.pi / 2, np.pi / 2, (g, 1))
+                    boxes = np.concatenate([cxy, wh, ang], -1).astype(np.float32)
+                else:
+                    boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).astype(np.float32)
                 gt_annotations.append(dict(boxes=boxes, labels=r.randint(0, pt.num_classes, g)))
             d, l, v = infer(eval_params, jnp.asarray(img), jnp.ones((bs, 4)))
             d, l, v = np.asarray(d), np.asarray(l), np.asarray(v)
             for b in range(bs):
                 keep = v[b]
-                dets_per_img.append((d[b, keep, :4], d[b, keep, 4], l[b, keep]))
+                dets_per_img.append((d[b, keep, :box_dim], d[b, keep, box_dim], l[b, keep]))
         gt = dict(img_ids=list(range(len(gt_annotations))), classes=classes,
                   annotations=gt_annotations)
+        if rotated:
+            from point_teacher_tpu.evalx.sodaa import sodaa_evaluate
+
+            stats = sodaa_evaluate(gt, dets_per_img)
+            print("\n--- SODA-A rotated metrics (synthetic) ---")
+            for k, v in stats.items():
+                if k != "per_class":
+                    print(f"{k:>24s}: {v:.4f}")
+            return
     else:
         from point_teacher_tpu.data import AITODDataset, EvalLoader
 

@@ -36,7 +36,7 @@ def parse_args():
     return ap.parse_args()
 
 
-def synthetic_dataset(n_images, cfg_pt, seed=0):
+def synthetic_dataset(n_images, cfg_pt, seed=0, rotated=False):
     """Fabricated fixed batches (no files on disk)."""
     from point_teacher_tpu.train.state import Batch
 
@@ -52,11 +52,15 @@ def synthetic_dataset(n_images, cfg_pt, seed=0):
             ng = rr.randint(1, g + 1, batch_size)
             cxy = rr.uniform(12, s - 12, (batch_size, g, 2))
             wh = rr.uniform(4, 16, (batch_size, g, 2))
-            boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).astype(np.float32)
+            if rotated:
+                ang = rr.uniform(-np.pi / 2, np.pi / 2, (batch_size, g, 1))
+                boxes = np.concatenate([cxy, wh, ang], -1).astype(np.float32)
+            else:
+                boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).astype(np.float32)
             valid = np.arange(g)[None] < ng[:, None]
             yield Batch(
                 image=img, gt_boxes=boxes,
-                gt_labels=rr.randint(0, 8, (batch_size, g)).astype(np.int32),
+                gt_labels=rr.randint(0, cfg_pt.num_classes, (batch_size, g)).astype(np.int32),
                 gt_valid=valid, image_ids=idx.astype(np.int32),
             )
 
@@ -73,6 +77,7 @@ def main():
 
     from point_teacher_tpu.config_io import apply_overrides, load_config
     from point_teacher_tpu.models.detector import StudentFCOS
+    from point_teacher_tpu.models.rotated_detector import StudentRotatedFCOS
     from point_teacher_tpu.train.optim import make_lr_schedule, make_optimizer
     from point_teacher_tpu.train.state import create_train_state
     from point_teacher_tpu.train.steps import build_train_step
@@ -81,10 +86,13 @@ def main():
 
     cfg = apply_overrides(load_config(args.config), args.cfg_options)
     pt = cfg["pt"]
+    rotated = bool(cfg.get("rotated", False))
+    trainer = cfg.get("trainer", "point_teacher")
     work_dir = args.work_dir or cfg.get("work_dir", "work_dirs/default")
     os.makedirs(work_dir, exist_ok=True)
 
-    model = StudentFCOS(
+    model_cls = StudentRotatedFCOS if rotated else StudentFCOS
+    model = model_cls(
         num_classes=pt.num_classes, num_stages=pt.num_stages,
         mil_stack_conv=0, dtype=jnp.bfloat16,
         **{k: v for k, v in cfg.get("model", {}).items()
@@ -93,7 +101,7 @@ def main():
     rng = jax.random.PRNGKey(args.seed)
     params = model.init(
         rng, jnp.zeros((1, pt.img_size, pt.img_size, 3)),
-        jnp.zeros((1, 7, 7, 256)), method=StudentFCOS.init_all,
+        jnp.zeros((1, 7, 7, 256)), method=model_cls.init_all,
     )
     pretrained = cfg.get("model", {}).get("pretrained")
     if pretrained:
@@ -103,7 +111,7 @@ def main():
 
     if args.synthetic_data:
         n_images = args.synthetic_data
-        batches_fn = synthetic_dataset(n_images, pt, args.seed)
+        batches_fn = synthetic_dataset(n_images, pt, args.seed, rotated=rotated)
     else:
         from point_teacher_tpu.data import AITODDataset, TrainLoader
 
@@ -122,7 +130,17 @@ def main():
         state = load_checkpoint(state, args.resume_from)
         print(f"resumed from {args.resume_from} at step {int(state.step)}")
 
-    step_fn = build_train_step(model, tx, pt, donate=False)
+    if trainer == "fcos":
+        from point_teacher_tpu.train.fcos_baseline import build_fcos_train_step
+
+        fcos_step = build_fcos_train_step(model, tx, pt, donate=False)
+        step_fn = lambda s, b, phase1: fcos_step(s, b)  # noqa: E731
+    elif rotated:
+        from point_teacher_tpu.train.rsteps import build_rotated_train_step
+
+        step_fn = build_rotated_train_step(model, tx, pt, donate=False)
+    else:
+        step_fn = build_train_step(model, tx, pt, donate=False)
     schedule = make_lr_schedule(pt.optim)
     logger = TrainLogger(work_dir, interval=50)
 
