@@ -57,6 +57,12 @@ def _match_img(
     m, n = len(dets), len(gts)
     if iou is None:
         iou = _iou_xyxy(dets[:, :4], gts)
+    if m and n:
+        from . import native
+        res = native.match_greedy(np.asarray(iou, np.float64), gt_ignore, iou_thr)
+        if res is not None:
+            dt_iou, dt_ig = res
+            return dt_iou, dt_ig, int((~gt_ignore).sum())
     gt_taken = np.zeros(n, bool)
     dt_iou = np.full(m, -1.0)
     dt_ig = np.zeros(m, bool)

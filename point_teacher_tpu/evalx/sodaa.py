@@ -18,7 +18,8 @@ from typing import Dict, List, Sequence, Tuple
 import numpy as np
 
 from .cocoeval import COCOStyleEval
-from .rgeometry import nms_rotated_np, rbox_iou_np
+from .native import nms_rotated as nms_rotated_np  # native with numpy fallback
+from .native import rbox_iou as rbox_iou_np
 
 SODAA_AREA_RNGS = (
     ("Small", 0.0, 32.0 ** 2),

@@ -100,3 +100,46 @@ def test_sodaa_dataset_loading(tmp_path):
     assert ann["boxes"].shape == (1, 5)
     assert np.isclose(ann["boxes"][0, 0], 20.0, atol=1e-3)  # cx
     assert ann["labels"][0] == 2
+
+
+def test_native_core_matches_numpy():
+    from point_teacher_tpu.evalx import native
+    from point_teacher_tpu.evalx.cocoeval import _iou_xyxy
+    from point_teacher_tpu.evalx import rgeometry as rg
+
+    if not native.available():
+        import pytest
+        pytest.skip("libptteval.so not built")
+    rng = np.random.RandomState(0)
+    d = rng.uniform(0, 80, (20, 2)).astype(np.float32)
+    d = np.concatenate([d, d + rng.uniform(2, 30, (20, 2)).astype(np.float32)], -1)
+    g = rng.uniform(0, 80, (9, 2)).astype(np.float32)
+    g = np.concatenate([g, g + rng.uniform(2, 30, (9, 2)).astype(np.float32)], -1)
+    assert np.allclose(native.iou_xyxy(d, g), _iou_xyxy(d, g), atol=1e-5)
+
+    rb1 = np.stack([rng.uniform(20, 60, 12), rng.uniform(20, 60, 12),
+                    rng.uniform(5, 25, 12), rng.uniform(5, 25, 12),
+                    rng.uniform(-1.5, 1.5, 12)], -1).astype(np.float32)
+    rb2 = rb1[::-1].copy()
+    assert np.allclose(native.rbox_iou(rb1, rb2), rg.rbox_iou_np(rb1, rb2), atol=1e-4)
+
+    scores = rng.rand(12).astype(np.float32)
+    k1 = set(native.nms_rotated(rb1, scores, 0.4).tolist())
+    k2 = set(rg.nms_rotated_np(rb1, scores, 0.4).tolist())
+    assert k1 == k2
+
+    iou = _iou_xyxy(d, g)
+    gt_ig = np.zeros(9, bool)
+    gt_ig[:2] = True
+    dt_iou_n, dt_ig_n = native.match_greedy(iou, gt_ig, 0.25)
+    # numpy reference (bypass the native fast path by calling internals)
+    from point_teacher_tpu.evalx.cocoeval import _match_img
+    import point_teacher_tpu.evalx.native as nat
+    lib = nat._LIB
+    nat._LIB = None
+    try:
+        dt_iou_r, dt_ig_r, _ = _match_img(d, g, gt_ig, 0.25, iou=iou)
+    finally:
+        nat._LIB = lib
+    assert np.allclose(dt_iou_n, dt_iou_r, atol=1e-6)
+    assert (dt_ig_n == dt_ig_r).all()
