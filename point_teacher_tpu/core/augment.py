@@ -56,46 +56,74 @@ def _flip(img, pts_list, boxes, direction, h, w):
     return jax.lax.switch(direction, [fh, fv, fd, fn], img, pts_list, boxes)
 
 
-def _rescale(img, pts_list, boxes, scale_idx, h, w):
-    """Rescale by SCALES[scale_idx] with centre crop (s>1) or centre pad (s<1).
+def rescale_offsets(s, h, w):
+    """Paste/crop offsets of the reference's two-step rescale (resize to
+    (int(h*s), int(w*s)) then centre pad/crop), as traced values.
 
-    Returns (img, pts_list, boxes, inframe_fn) where inframe_fn(points)
-    gives the validity of transformed points (always True for s <= 1).
+    off > 0 pastes into a black canvas (s < 1); off < 0 crops (s > 1).
     """
+    sh = jnp.floor(h * s + 1e-4)
+    sw = jnp.floor(w * s + 1e-4)
+    off_y = jnp.trunc((h - sh) / 2)
+    off_x = jnp.trunc((w - sw) / 2)
+    return sh, sw, off_y, off_x
 
-    def branch(s):
-        sh, sw = int(h * s), int(w * s)
 
-        def run(img, pts, boxes):
-            pts = [p * s for p in pts]
-            boxes = boxes * s
-            resized = jax.image.resize(img, (sh, sw, img.shape[-1]), method="bilinear")
-            if s < 1.0:
-                by, bx = (h - sh) // 2, (w - sw) // 2
-                out = jnp.zeros_like(img)
-                out = jax.lax.dynamic_update_slice(out, resized, (by, bx, 0))
-                pts = [p.at[..., 0].add(bx).at[..., 1].add(by) for p in pts]
-                boxes = boxes.at[..., 0::2].add(bx).at[..., 1::2].add(by)
-                inframe = [jnp.ones(p.shape[:-1], bool) for p in pts]
-            elif s > 1.0:
-                by, bx = (sh - h) // 2, (sw - w) // 2
-                out = jax.lax.dynamic_slice(resized, (by, bx, 0), (h, w, img.shape[-1]))
-                inframe = [
-                    (p[..., 0] >= bx) & (p[..., 0] < w + bx)
-                    & (p[..., 1] >= by) & (p[..., 1] < h + by)
-                    for p in pts
-                ]
-                pts = [p.at[..., 0].add(-bx).at[..., 1].add(-by) for p in pts]
-                boxes = boxes.at[..., 0::2].add(-bx).at[..., 1::2].add(-by)
-            else:
-                out = resized
-                inframe = [jnp.ones(p.shape[:-1], bool) for p in pts]
-            return jnp.round(out), pts, boxes, inframe
+def warp_rescale_image(img, s):
+    """Single bilinear warp equivalent to resize(align_corners=False) +
+    centre pad/crop for ANY scale — replaces a lax.switch over the discrete
+    scales (all branches would be computed under vmap).
 
-        return run
+    dst (y, x) samples src ((y - off + .5)/s - .5, ...) masked to the pasted
+    region; border samples clamp like jax.image.resize.
+    """
+    h, w, c = img.shape
+    sh, sw, off_y, off_x = rescale_offsets(s, h, w)
 
-    branches = [branch(s) for s in SCALES]
-    return jax.lax.switch(scale_idx, branches, img, pts_list, boxes)
+    def axis_coords(n, off, sn):
+        # effective resize scale is floor(n*s)/n (resize to an integer size),
+        # NOT s itself — matches F.interpolate(size=...) / jax.image.resize
+        d = jnp.arange(n, dtype=img.dtype)
+        rel = d - off
+        src = (rel + 0.5) * (n / sn) - 0.5
+        valid = (rel >= 0) & (rel < sn)
+        return jnp.clip(src, 0, n - 1), valid
+
+    sy, vy = axis_coords(h, off_y, sh)
+    sx, vx = axis_coords(w, off_x, sw)
+    y0 = jnp.floor(sy)
+    x0 = jnp.floor(sx)
+    ly = (sy - y0)[:, None, None]
+    lx = (sx - x0)[None, :, None]
+    y0i = y0.astype(jnp.int32)
+    y1i = jnp.minimum(y0i + 1, h - 1)
+    x0i = x0.astype(jnp.int32)
+    x1i = jnp.minimum(x0i + 1, w - 1)
+    top = img[y0i][:, x0i] * (1 - lx) + img[y0i][:, x1i] * lx
+    bot = img[y1i][:, x0i] * (1 - lx) + img[y1i][:, x1i] * lx
+    out = top * (1 - ly) + bot * ly
+    mask = (vy[:, None] & vx[None, :])[..., None]
+    return jnp.round(jnp.where(mask, out, 0.0))
+
+
+def _rescale(img, pts_list, boxes, s, h, w):
+    """Traced-scale rescale of image, point sets and xyxy boxes.
+
+    Matches the reference semantics exactly for the 5 discrete scales
+    (coords scaled then shifted by the paste/crop offsets; points leaving the
+    frame on upscale get inframe=False).
+    """
+    sh, sw, off_y, off_x = rescale_offsets(s, h, w)
+    off = jnp.stack([off_x, off_y])
+    out = warp_rescale_image(img, s)
+    new_pts = [p * s + off for p in pts_list]
+    inframe = [
+        (p[..., 0] >= 0) & (p[..., 0] < w) & (p[..., 1] >= 0) & (p[..., 1] < h)
+        for p in new_pts
+    ]
+    boxes = boxes * s
+    boxes = boxes.at[..., 0::2].add(off_x).at[..., 1::2].add(off_y)
+    return out, new_pts, boxes, inframe
 
 
 @jax.jit
@@ -106,12 +134,12 @@ def strong_augment(key: Array, batch: AugBatch) -> AugBatch:
         k1, k2 = jax.random.split(key)
         direction = jax.random.randint(k1, (), 0, 4)
         # np.around(U(0.8, 1.2), 1) -> nearest of the 5 discrete scales
-        s = jax.random.uniform(k2, (), minval=0.8, maxval=1.2)
-        scale_idx = jnp.round((s - 0.8) * 10).astype(jnp.int32)
+        u = jax.random.uniform(k2, (), minval=0.8, maxval=1.2)
+        s = jnp.round(u * 10.0) / 10.0
 
         img, (gt_pts, ps_pts), ps_boxes = _flip(img, [gt_pts, ps_pts], ps_boxes, direction, h, w)
         img, (gt_pts, ps_pts), ps_boxes, (gt_in, ps_in) = _rescale(
-            img, [gt_pts, ps_pts], ps_boxes, scale_idx, h, w
+            img, [gt_pts, ps_pts], ps_boxes, s, h, w
         )
         # normalise flipped boxes (x1<x2, y1<y2) — the reference's "bboxes refine"
         x1 = jnp.minimum(ps_boxes[..., 0], ps_boxes[..., 2])

@@ -14,7 +14,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.rotated import norm_angle_le90
-from .augment import SCALES
+from .augment import SCALES, rescale_offsets, warp_rescale_image
 
 Array = jnp.ndarray
 
@@ -77,59 +77,27 @@ def strong_augment_rotated(key: Array, batch: RAugBatch) -> RAugBatch:
     def one(key, img, gt_pts, gt_valid, ps_pts, ps_rb, ps_valid):
         k1, k2 = jax.random.split(key)
         direction = jax.random.randint(k1, (), 0, 4)
-        s = jax.random.uniform(k2, (), minval=0.8, maxval=1.2)
-        scale_idx = jnp.round((s - 0.8) * 10).astype(jnp.int32)
+        u = jax.random.uniform(k2, (), minval=0.8, maxval=1.2)
+        s = jnp.round(u * 10.0) / 10.0
 
         img = _flip_image(img, direction)
         gt_pts = _flip_points(gt_pts, direction, h, w)
         ps_pts = _flip_points(ps_pts, direction, h, w)
         ps_rb = _flip_rboxes(ps_rb, direction, h, w)
 
-        def branch(sv):
-            sh, sw = int(h * sv), int(w * sv)
+        _, _, off_y, off_x = rescale_offsets(s, h, w)
+        off = jnp.stack([off_x, off_y])
+        img = warp_rescale_image(img, s)
+        gt_pts = gt_pts * s + off
+        ps_pts = ps_pts * s + off
+        ps_rb = ps_rb.at[..., :4].multiply(s).at[..., :2].add(off)
 
-            def run(img, gt_pts, ps_pts, ps_rb):
-                gt_pts = gt_pts * sv
-                ps_pts = ps_pts * sv
-                ps_rb = ps_rb.at[..., :4].multiply(sv)
-                resized = jax.image.resize(img, (sh, sw, img.shape[-1]), "bilinear")
-                if sv < 1.0:
-                    by, bx = (h - sh) // 2, (w - sw) // 2
-                    out = jnp.zeros_like(img)
-                    out = jax.lax.dynamic_update_slice(out, resized, (by, bx, 0))
-                    shift = jnp.asarray([bx, by], img.dtype)
-                    gt_pts = gt_pts + shift
-                    ps_pts = ps_pts + shift
-                    ps_rb = ps_rb.at[..., :2].add(shift)
-                    gt_in = jnp.ones(gt_pts.shape[:-1], bool)
-                    ps_in = jnp.ones(ps_pts.shape[:-1], bool)
-                elif sv > 1.0:
-                    by, bx = (sh - h) // 2, (sw - w) // 2
-                    out = jax.lax.dynamic_slice(resized, (by, bx, 0), (h, w, img.shape[-1]))
+        def inframe(p):
+            return ((p[..., 0] >= 0) & (p[..., 0] < w)
+                    & (p[..., 1] >= 0) & (p[..., 1] < h))
 
-                    def inframe(p):
-                        return ((p[..., 0] >= bx) & (p[..., 0] < w + bx)
-                                & (p[..., 1] >= by) & (p[..., 1] < h + by))
-
-                    gt_in = inframe(gt_pts)
-                    ps_in = inframe(ps_pts)
-                    shift = jnp.asarray([bx, by], img.dtype)
-                    gt_pts = gt_pts - shift
-                    ps_pts = ps_pts - shift
-                    ps_rb = ps_rb.at[..., :2].add(-shift)
-                else:
-                    out = resized
-                    gt_in = jnp.ones(gt_pts.shape[:-1], bool)
-                    ps_in = jnp.ones(ps_pts.shape[:-1], bool)
-                return jnp.round(out), gt_pts, ps_pts, ps_rb, gt_in, ps_in
-
-            return run
-
-        img, gt_pts, ps_pts, ps_rb, gt_in, ps_in = jax.lax.switch(
-            scale_idx, [branch(sv) for sv in SCALES], img, gt_pts, ps_pts, ps_rb
-        )
-        return RAugBatch(img, gt_pts, gt_valid & gt_in, ps_pts, ps_rb,
-                         ps_valid & ps_in)
+        return RAugBatch(img, gt_pts, gt_valid & inframe(gt_pts), ps_pts, ps_rb,
+                         ps_valid & inframe(ps_pts))
 
     keys = jax.random.split(key, b)
     return jax.vmap(one)(keys, batch.image, batch.gt_points, batch.gt_valid,
