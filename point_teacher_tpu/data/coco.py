@@ -91,3 +91,41 @@ class AITODDataset(CocoDetDataset):
         "airplane", "bridge", "storage-tank", "ship",
         "swimming-pool", "vehicle", "person", "wind-mill",
     )
+
+
+class VisDroneDataset(CocoDetDataset):
+    """HBB_TOD/mmdet/datasets visdrone variant class list."""
+
+    CLASSES = (
+        "pedestrian", "people", "bicycle", "car", "van", "truck",
+        "tricycle", "awning-tricycle", "bus", "motor",
+    )
+
+
+class XViewDataset(CocoDetDataset):
+    """xView COCO-converted variant (60 classes in the full set; the tiny-
+    object splits used by the reference keep the COCO json's categories —
+    classes come from the json)."""
+
+    CLASSES = ()
+
+
+class DOTADataset(CocoDetDataset):
+    """DOTA-v2 HBB COCO-converted variant."""
+
+    CLASSES = (
+        "plane", "baseball-diamond", "bridge", "ground-track-field",
+        "small-vehicle", "large-vehicle", "ship", "tennis-court",
+        "basketball-court", "storage-tank", "soccer-ball-field", "roundabout",
+        "harbor", "swimming-pool", "helicopter", "container-crane",
+        "airport", "helipad",
+    )
+
+
+class SODADDataset(CocoDetDataset):
+    """SODA-D (HBB small-object) variant."""
+
+    CLASSES = (
+        "people", "rider", "bicycle", "motor", "vehicle",
+        "traffic-sign", "traffic-light", "traffic-camera", "warning-cone",
+    )

@@ -94,3 +94,21 @@ def test_point_cost():
     l2 = np.asarray(C.point_cost(pts, gts, mode="L2"))
     assert np.isclose(l1[0, 0], 7.0) and np.isclose(l1[1, 0], 0.0)
     assert np.isclose(l2[0, 0], 5.0)
+
+
+def test_hungarian_assign_one_to_one():
+    from point_teacher_tpu.core.hungarian import hungarian_assign_np
+
+    rng = np.random.RandomState(0)
+    p, g, c = 30, 4, 3
+    pred = np.concatenate([rng.uniform(10, 50, (p, 2)), rng.uniform(4, 10, (p, 2))], -1)
+    cls = rng.randn(p, c)
+    ctr = rng.randn(p)
+    gt_pts = rng.uniform(10, 50, (g, 2))
+    gt_lab = rng.randint(0, c, g)
+    valid = np.array([True, True, True, False])
+    assigned = hungarian_assign_np(pred, cls, ctr, gt_pts, gt_lab, valid)
+    # one-to-one: each valid gt assigned exactly once, invalid never
+    fg = assigned[assigned >= 0]
+    assert len(fg) == 3
+    assert sorted(fg.tolist()) == [0, 1, 2]

@@ -46,3 +46,23 @@ def test_grid_points_ordering():
     # row-major over (y, x): first row y=4, x=4,12,20
     assert np.allclose(pts[:3], [[4, 4], [12, 4], [20, 4]])
     assert np.allclose(pts[3], [4, 12])
+
+
+def test_tiny_metrics():
+    from point_teacher_tpu.ops.tiny_metrics import (
+        center_distance2, kl_similarity, wasserstein_similarity,
+    )
+
+    b = jnp.array([[10.0, 10.0, 14.0, 14.0]])
+    # identical boxes: wd == 1/(1+eps) ~ 1, kl sim ~ 1
+    assert float(wasserstein_similarity(b, b)[0, 0]) > 0.99
+    assert float(kl_similarity(b, b)[0, 0]) > 0.99
+    far = jnp.array([[100.0, 100.0, 104.0, 104.0]])
+    assert float(wasserstein_similarity(b, far)[0, 0]) < 1e-3
+    assert float(center_distance2(b, far)[0, 0]) > 1e4
+    # tiny boxes: wd still discriminative where IoU is 0
+    near = jnp.array([[15.0, 10.0, 19.0, 14.0]])  # disjoint, 5px away
+    from point_teacher_tpu.ops.boxes import bbox_overlaps
+    assert float(bbox_overlaps(b, near)[0, 0]) == 0.0
+    assert float(wasserstein_similarity(b, near)[0, 0]) > \
+        float(wasserstein_similarity(b, far)[0, 0])

@@ -27,6 +27,7 @@ def parse_args():
     ap.add_argument("--eval", default="bbox")
     ap.add_argument("--cfg-options", nargs="*", default=None)
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug/smoke)")
+    ap.add_argument("--cpu-devices", type=int, default=0, help="virtual CPU device count")
     ap.add_argument("--synthetic-data", type=int, default=0)
     ap.add_argument("--student", action="store_true",
                     help="evaluate the student instead of the teacher")
@@ -40,6 +41,8 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.cpu_devices:
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
     import jax.numpy as jnp
 
     from point_teacher_tpu.config_io import apply_overrides, load_config

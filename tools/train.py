@@ -29,6 +29,7 @@ def parse_args():
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--cfg-options", nargs="*", default=None)
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug/smoke)")
+    ap.add_argument("--cpu-devices", type=int, default=0, help="virtual CPU device count")
     ap.add_argument("--synthetic-data", type=int, default=0, metavar="N_IMAGES",
                     help="train on N fabricated images instead of the dataset")
     ap.add_argument("--max-steps", type=int, default=0, help="stop after N steps (0=full)")
@@ -73,6 +74,8 @@ def main():
 
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
+    if args.cpu_devices:
+        jax.config.update("jax_num_cpu_devices", args.cpu_devices)
     import jax.numpy as jnp
 
     from point_teacher_tpu.config_io import apply_overrides, load_config
@@ -144,13 +147,24 @@ def main():
     schedule = make_lr_schedule(pt.optim)
     logger = TrainLogger(work_dir, interval=50)
 
+    # SPMD data parallelism over all visible chips (the dist_train.sh analog)
+    if jax.device_count() > 1 and pt.batch_size % jax.device_count() == 0:
+        from point_teacher_tpu.parallel import make_mesh, replicate_state, shard_batch
+
+        mesh = make_mesh()
+        state = replicate_state(state, mesh)
+        shard = lambda b: shard_batch(b, mesh)  # noqa: E731
+        print(f"data parallel over {jax.device_count()} devices")
+    else:
+        shard = lambda b: b  # noqa: E731
+
     step = int(state.step)
     start_epoch = step // iters_per_epoch
     stop = False
     for epoch in range(start_epoch, pt.optim.max_epochs):
         for batch in batches_fn(pt.batch_size):
             phase1 = step <= pt.burn_in_step
-            state, metrics = step_fn(state, batch, phase1=phase1)
+            state, metrics = step_fn(state, shard(batch), phase1=phase1)
             step += 1
             logger.step(step, epoch + 1,
                         {k: float(v) for k, v in metrics.items()},
