@@ -140,18 +140,39 @@ def build_rotated_train_step(model: StudentRotatedFCOS, tx, cfg: PointTeacherCon
             gate = jnp.array(True)
             gate_f = jnp.ones(())
 
+        def make_aug(refined_full):
+            return strong_augment_rotated(
+                k_aug,
+                RAugBatch(
+                    image=batch.image,
+                    gt_points=gt_points,
+                    gt_valid=batch.gt_valid,
+                    pseudo_points=refined_full[..., :2],
+                    pseudo_rboxes=refined_full,
+                    pseudo_valid=batch.gt_valid,
+                ),
+            )
+
+        if phase1:
+            # phase-1 refinement is discarded (rotated_fcos_teacher_student.py
+            # :222): the aug view depends only on the coarse pseudo boxes, so
+            # the three student passes fuse into one 3B forward
+            aug = make_aug(ps["pseudo_boxes"])
+
         def loss_fn(params):
             m = dict(metrics)
             if phase1:
-                img_all = jnp.concatenate([img_syn, batch.image], axis=0)
+                b = batch.image.shape[0]
+                img_all = jnp.concatenate([img_syn, batch.image, aug.image], axis=0)
                 outs, feat = model.apply(params, img_all)
                 cls_a, bbox_a, ang_a, ctr_a = _flatten_rhead(outs)
-                b = batch.image.shape[0]
                 loss_bbox_syn, loss_ctr_syn = syn_branch_loss_rotated(
                     cls_a[:b], bbox_a[:b], ang_a[:b], ctr_a[:b], points,
                     syn_rboxes, syn_valid, rdense,
                 )
-                mil_feat_syn, mil_feat_ori = feat[:b], feat[b:]
+                mil_feat_syn, mil_feat_ori = feat[:b], feat[b:2 * b]
+                cls_g, bbox_g = cls_a[2 * b:], bbox_a[2 * b:]
+                ang_g, ctr_g = ang_a[2 * b:], ctr_a[2 * b:]
                 _, mil_loss_syn = _run_rmil_stages(
                     model, params, mil_feat_syn, syn_rboxes[:, :nt],
                     jnp.zeros_like(batch.gt_labels[:, sl]), syn_valid[:, :nt],
@@ -164,6 +185,7 @@ def build_rotated_train_step(model: StudentRotatedFCOS, tx, cfg: PointTeacherCon
                 )
                 mil_loss = (mil_loss_syn + mil_loss_ori) * gate_f
                 refined_full = ps["pseudo_boxes"]  # phase-1 refinement discarded
+                aug_local = aug
             else:
                 outs, feat = model.apply(params, batch.image)
                 refined_nt, mil_loss = _run_rmil_stages(
@@ -173,24 +195,15 @@ def build_rotated_train_step(model: StudentRotatedFCOS, tx, cfg: PointTeacherCon
                 )
                 refined_full = ps["pseudo_boxes"].at[:, sl].set(refined_nt)
                 loss_bbox_syn = loss_ctr_syn = None
+                aug_local = make_aug(refined_full)
+                outs_aug, _ = model.apply(params, aug_local.image)
+                cls_g, bbox_g, ang_g, ctr_g = _flatten_rhead(outs_aug)
 
-            aug = strong_augment_rotated(
-                k_aug,
-                RAugBatch(
-                    image=batch.image,
-                    gt_points=gt_points,
-                    gt_valid=batch.gt_valid,
-                    pseudo_points=refined_full[..., :2],
-                    pseudo_rboxes=refined_full,
-                    pseudo_valid=batch.gt_valid,
-                ),
-            )
-            outs_aug, _ = model.apply(params, aug.image)
-            cls_g, bbox_g, ang_g, ctr_g = _flatten_rhead(outs_aug)
             loss_cls, loss_bbox_ps, loss_ctr_ps = pseudo_branch_loss_rotated(
                 cls_g, bbox_g, ang_g, ctr_g, points,
-                aug.gt_points, batch.gt_labels, aug.gt_valid,
-                aug.pseudo_rboxes, aug.pseudo_valid & batch.gt_valid, rdense,
+                aug_local.gt_points, batch.gt_labels, aug_local.gt_valid,
+                aug_local.pseudo_rboxes, aug_local.pseudo_valid & batch.gt_valid,
+                rdense,
             )
             m["loss_cls"] = loss_cls
             if phase1:

@@ -190,18 +190,44 @@ def build_train_step(model: StudentFCOS, tx, cfg: PointTeacherConfig, donate: bo
             gate = jnp.array(True)
             gate_f = jnp.ones(())
 
+        def make_aug(refined_full):
+            refined_pts = xyxy_to_cxcywh(refined_full)[..., :2]
+            return strong_augment(
+                k_aug,
+                AugBatch(
+                    image=batch.image,
+                    gt_points=gt_points,
+                    gt_valid=batch.gt_valid,
+                    pseudo_points=refined_pts,
+                    pseudo_boxes=refined_full,
+                    # all real GT slots carry a pseudo box (unmatched slots get
+                    # the default 8x8 point box, as in _gnerate_pseudo_single)
+                    pseudo_valid=batch.gt_valid,
+                ),
+            )
+
+        if phase1:
+            # phase-1 quirk: MIL refinement is discarded, so the augmented view
+            # depends only on the (teacher) coarse pseudo boxes — build it
+            # outside loss_fn and fuse ALL THREE student passes into one 3B
+            # forward (syn + ori + aug) for MXU utilisation.
+            aug = make_aug(ps["pseudo_boxes"])
+
         def loss_fn(params):
             m = dict(metrics)
             if phase1:
-                img_all = jnp.concatenate([img_syn, batch.image], axis=0)
+                b = batch.image.shape[0]
+                img_all = jnp.concatenate([img_syn, batch.image, aug.image], axis=0)
                 outs, feat = model.apply(params, img_all)
                 cls_all, bbox_all, ctr_all = _flatten_head(outs)
-                b = batch.image.shape[0]
                 loss_bbox_syn, loss_ctr_syn = syn_branch_loss(
                     cls_all[:b], bbox_all[:b], ctr_all[:b], points,
                     syn_boxes, syn_valid, cfg.dense,
                 )
-                mil_feat_syn, mil_feat_ori = feat[:b], feat[b:]
+                mil_feat_syn, mil_feat_ori = feat[:b], feat[b:2 * b]
+                cls_a = cls_all[2 * b:]
+                bbox_a = bbox_all[2 * b:]
+                ctr_a = ctr_all[2 * b:]
 
                 # MIL: denoising reg on synthetic bags (exact boxes)...
                 _, mil_loss_syn = _run_mil_stages(
@@ -218,6 +244,7 @@ def build_train_step(model: StudentFCOS, tx, cfg: PointTeacherConfig, donate: bo
                 mil_loss = (mil_loss_syn + mil_loss_ori) * gate_f
                 # phase-1 quirk: refinement discarded
                 refined_full = ps["pseudo_boxes"]
+                aug_local = aug
             else:
                 outs, feat = model.apply(params, batch.image)
                 refined_nt, mil_loss = _run_mil_stages(
@@ -227,27 +254,15 @@ def build_train_step(model: StudentFCOS, tx, cfg: PointTeacherConfig, donate: bo
                 )
                 refined_full = ps["pseudo_boxes"].at[:, sl].set(refined_nt)
                 loss_bbox_syn = loss_ctr_syn = None
+                aug_local = make_aug(refined_full)
+                outs_aug, _ = model.apply(params, aug_local.image)
+                cls_a, bbox_a, ctr_a = _flatten_head(outs_aug)
 
-            refined_pts = xyxy_to_cxcywh(refined_full)[..., :2]
-            aug = strong_augment(
-                k_aug,
-                AugBatch(
-                    image=batch.image,
-                    gt_points=gt_points,
-                    gt_valid=batch.gt_valid,
-                    pseudo_points=refined_pts,
-                    pseudo_boxes=refined_full,
-                    # all real GT slots carry a pseudo box (unmatched slots get
-                    # the default 8x8 point box, as in _gnerate_pseudo_single)
-                    pseudo_valid=batch.gt_valid,
-                ),
-            )
-            outs_aug, _ = model.apply(params, aug.image)
-            cls_a, bbox_a, ctr_a = _flatten_head(outs_aug)
             loss_cls, loss_bbox_ps, loss_ctr_ps = pseudo_branch_loss(
                 cls_a, bbox_a, ctr_a, points,
-                aug.gt_points, batch.gt_labels, aug.gt_valid,
-                aug.pseudo_boxes, aug.pseudo_valid & batch.gt_valid, cfg.dense,
+                aug_local.gt_points, batch.gt_labels, aug_local.gt_valid,
+                aug_local.pseudo_boxes, aug_local.pseudo_valid & batch.gt_valid,
+                cfg.dense,
             )
             m["loss_cls"] = loss_cls
             if phase1:

@@ -110,6 +110,46 @@ def main():
     t = timeit(ra_g, feat, rois)
     print(f"roi_align 2500 (fwd+bwd):       {t*1e3:8.1f} ms")
 
+    # 6.5 full phase-1/2 train steps (the ground truth)
+    from point_teacher_tpu.train.optim import make_optimizer
+    from point_teacher_tpu.train.state import Batch, create_train_state
+    from point_teacher_tpu.train.steps import build_train_step
+
+    tx = make_optimizer(params, cfg.optim)
+    state = create_train_state(params, tx, num_images=16, max_gt=g, rng=rng)
+    step = build_train_step(model, tx, cfg)
+    batch = Batch(image=img, gt_boxes=boxes, gt_labels=labels, gt_valid=valid,
+                  image_ids=jnp.arange(b, dtype=jnp.int32))
+    def run_p1(st):
+        st2, mm = step(st, batch, phase1=True)
+        return mm["total_loss"]
+    t = timeit(run_p1, state)
+    print(f"FULL phase-1 step:              {t*1e3:8.1f} ms")
+    def run_p2(st):
+        st2, mm = step(st, batch, phase1=False)
+        return mm["total_loss"]
+    t = timeit(run_p2, state)
+    print(f"FULL phase-2 step:              {t*1e3:8.1f} ms")
+
+    # 6.6 detector core: grad of a 3-pass dense-only loss (no MIL, no syn gen)
+    from point_teacher_tpu.train.dense_losses import pseudo_branch_loss, syn_branch_loss
+    from point_teacher_tpu.train.steps import _flatten_head
+
+    ncfg = cfg.normalized()
+    def core_loss(p):
+        img_all = jnp.concatenate([img, img], 0)
+        outs, feat = model.apply(p, img_all)
+        cls_f, bb_f, ct_f = _flatten_head(outs)
+        lb, lc = syn_branch_loss(cls_f[:b], bb_f[:b], ct_f[:b], points, boxes, valid, ncfg.dense)
+        outs2, _ = model.apply(p, img)
+        cls2, bb2, ct2 = _flatten_head(outs2)
+        l1, l2, l3 = pseudo_branch_loss(cls2, bb2, ct2, points, ctr_pts, labels, valid,
+                                        boxes, valid, ncfg.dense)
+        return lb + lc + l1 + l2 + l3
+    core_g = jax.jit(jax.grad(core_loss))
+    t = timeit(core_g, params)
+    print(f"3-pass dense core (f+b):        {t*1e3:8.1f} ms")
+
     # 7. MIL towers matmul
     roi_feats = jnp.zeros((b * 2500, 7, 7, 256), jnp.bfloat16)
     def tower(p, x):
