@@ -23,7 +23,6 @@ import jax.numpy as jnp
 from ..ops.boxes import bbox_overlaps
 from ..ops.losses import dn_diou_loss, gfocal_loss
 from ..ops.roi_align import roi_align
-from .. import core
 from ..core.proposals import FineProposalCfg, delta_decode, fine_proposals, negative_proposals
 
 Array = jnp.ndarray
