@@ -155,6 +155,53 @@ def gfocal_loss(p: Array, q: Array, w=1.0, eps: float = 1e-6) -> Array:
     return -(l1 * l2 * w).sum(axis=-1)
 
 
+def giou_loss(pred: Array, target: Array, weight=None, avg_factor=None,
+              eps: float = 1e-6, loss_weight: float = 1.0) -> Array:
+    """GIoULoss (iou_loss.py:763): 1 - GIoU on aligned xyxy boxes."""
+    from .boxes import bbox_overlaps
+
+    loss = 1 - bbox_overlaps(pred, target, mode="giou", is_aligned=True, eps=eps)
+    return loss_weight * weight_reduce(loss, weight, avg_factor)
+
+
+def _iou_aligned(pred, target, eps):
+    lt = jnp.maximum(pred[..., :2], target[..., :2])
+    rb = jnp.minimum(pred[..., 2:4], target[..., 2:4])
+    wh = jnp.clip(rb - lt, 0, None)
+    overlap = wh[..., 0] * wh[..., 1]
+    ap = (pred[..., 2] - pred[..., 0]) * (pred[..., 3] - pred[..., 1])
+    ag = (target[..., 2] - target[..., 0]) * (target[..., 3] - target[..., 1])
+    return overlap / (ap + ag - overlap + eps)
+
+
+def ciou_loss(pred: Array, target: Array, weight=None, avg_factor=None,
+              eps: float = 1e-7, loss_weight: float = 1.0) -> Array:
+    """CIoULoss (iou_loss.py:468-540): DIoU + aspect-ratio consistency term."""
+    base = _diou_elem(pred, target, eps)  # 1 - diou
+    ious = _iou_aligned(pred, target, eps)
+    w1 = pred[..., 2] - pred[..., 0]
+    h1 = jnp.maximum(pred[..., 3] - pred[..., 1], eps)
+    w2 = target[..., 2] - target[..., 0]
+    h2 = jnp.maximum(target[..., 3] - target[..., 1], eps)
+    v = (4 / jnp.pi ** 2) * (jnp.arctan(w2 / h2) - jnp.arctan(w1 / h1)) ** 2
+    alpha = jax.lax.stop_gradient(v / jnp.maximum(1 - ious + v, eps))
+    loss = base + alpha * v
+    return loss_weight * weight_reduce(loss, weight, avg_factor)
+
+
+def iou_loss(pred: Array, target: Array, weight=None, avg_factor=None,
+             mode: str = "log", eps: float = 1e-6, loss_weight: float = 1.0) -> Array:
+    """IoULoss (iou_loss.py): -log(IoU) / 1-IoU / 1-IoU^2 on aligned xyxy."""
+    ious = jnp.clip(_iou_aligned(pred, target, eps), eps, None)
+    if mode == "linear":
+        loss = 1 - ious
+    elif mode == "square":
+        loss = 1 - ious ** 2
+    else:
+        loss = -jnp.log(ious)
+    return loss_weight * weight_reduce(loss, weight, avg_factor)
+
+
 def rotated_iou_loss(pred5: Array, target5: Array, weight=None, avg_factor=None,
                      mode: str = "log", eps: float = 1e-6, loss_weight: float = 1.0) -> Array:
     """RotatedIoULoss (OBB_TOD/mmrotate/models/losses/rotated_iou_loss.py:149):

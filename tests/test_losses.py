@@ -97,3 +97,34 @@ def test_bce_matches_torch():
     ours = float(L.binary_cross_entropy(jnp.array(x), jnp.array(t), avg_factor=1.0))
     ref = F.binary_cross_entropy_with_logits(torch.tensor(x), torch.tensor(t), reduction="sum")
     assert np.isclose(ours, float(ref), rtol=1e-4)
+
+
+def test_giou_ciou_iou_losses():
+    b = jnp.array([[0.0, 0.0, 10.0, 10.0]])
+    for fn in (L.giou_loss, L.ciou_loss, L.iou_loss):
+        assert float(fn(b, b, avg_factor=1.0)) < 1e-3, fn.__name__
+    shifted = jnp.array([[5.0, 5.0, 15.0, 15.0]])
+    assert float(L.giou_loss(b, shifted, avg_factor=1.0)) > 0.5
+    assert float(L.ciou_loss(b, shifted, avg_factor=1.0)) > 0.5
+    assert float(L.iou_loss(b, shifted, avg_factor=1.0, mode="linear")) > 0.5
+
+
+def test_new_match_costs():
+    from point_teacher_tpu.core import costs as C
+
+    logits = jnp.array([[2.0, -1.0], [-1.0, 2.0]])
+    labels = jnp.array([0, 1])
+    cc = np.asarray(C.classification_cost(logits, labels))
+    assert cc[0, 0] < cc[0, 1]
+    boxes = jnp.array([[0.0, 0.0, 4.0, 4.0]])
+    gts = jnp.array([[0.0, 0.0, 4.0, 4.0], [10.0, 10.0, 14.0, 14.0]])
+    ic = np.asarray(C.iou_cost(boxes, gts))
+    assert ic[0, 0] < ic[0, 1]
+    l1 = np.asarray(C.bbox_l1_cost(boxes, gts))
+    assert l1[0, 0] == 0.0 and l1[0, 1] == 40.0
+    hp = np.asarray(C.h_point_cost(boxes, gts))
+    assert hp[0, 0] == 0.0 and np.isclose(hp[0, 1], 20.0)
+    ctr = np.asarray(C.centerness_cost(jnp.array([0.5, 0.9]), jnp.array([1.0])))
+    assert np.isclose(ctr[0, 0], 0.5) and np.isclose(ctr[1, 0], 0.1)
+    ce = np.asarray(C.cross_entropy_cost(logits, jnp.array([[1.0, 0.0]])))
+    assert ce.shape == (2, 1) and ce[0, 0] < ce[1, 0]
