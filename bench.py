@@ -12,9 +12,18 @@ baseline replaces it.
 """
 import argparse
 import json
+import os
 import time
 
 import jax
+
+# persistent compilation cache: amortises the large first-compile of the full
+# train step across bench invocations (no-op if the backend ignores it)
+_cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
+os.makedirs(_cache, exist_ok=True)
+jax.config.update("jax_compilation_cache_dir", _cache)
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
 import jax.numpy as jnp
 import numpy as np
 

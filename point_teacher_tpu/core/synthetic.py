@@ -105,13 +105,14 @@ def _adjacency_chains(key, boxes, gt_valid, dense_cls_max):
     return jnp.concatenate(slots, 0), jnp.concatenate(valids, 0)
 
 
-@partial(jax.jit, static_argnames=("cfg",))
+@partial(jax.jit, static_argnames=("cfg", "fill_value"))
 def generate_black_paper_batch(
     key: Array,
     images: Array,
     gt_boxes_xyxy: Array,
     gt_valid: Array,
     cfg: SynCfg,
+    fill_value: float = 255.0,
 ):
     """images [B,H,W,3]; gt_boxes [B,G,4] xyxy (HBB) or [B,G,5] rotated (OBB —
     centres are all that is used); gt_valid [B,G].
@@ -152,9 +153,19 @@ def generate_black_paper_batch(
         keep = keep & inside
 
         mask = rasterize_rboxes(allb[:, :5], keep, h, w)
-        img_syn = jnp.where(mask[:, :, None], jnp.asarray(255.0, img.dtype), img)
+        img_syn = jnp.where(mask[:, :, None], jnp.asarray(fill_value, img.dtype), img)
         # drop the occupied slots entirely (they can never be kept)
         return img_syn, xyxy[g:], allb[g:, :5], keep[g:]
 
     keys = jax.random.split(key, b)
     return jax.vmap(one)(keys, images, gt_boxes_xyxy, gt_valid)
+
+
+def generate_synthesis_batch(key, images, gt_boxes, gt_valid, cfg: SynCfg):
+    """`generate_sythesis` equivalent (syn_images_generator_v2.py:426-557):
+    the textured-synthesis variant. As shipped, the reference multiplies the
+    pattern to zero (`p_randn = randint*0`, :554) and stamps black rectangles;
+    the same box-sampling/NMS pipeline applies, so this is the black-paper
+    generator with fill 0."""
+    return generate_black_paper_batch(key, images, gt_boxes, gt_valid, cfg,
+                                      fill_value=0.0)

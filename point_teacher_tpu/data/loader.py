@@ -21,13 +21,26 @@ from .pipeline import pad_gts, preprocess
 
 class TrainLoader:
     def __init__(self, dataset: CocoDetDataset, batch_size: int, max_gt: int,
-                 canvas: int = 800, seed: int = 0, prefetch: int = 2):
+                 canvas: int = 800, seed: int = 0, prefetch: int = 2,
+                 group_by_aspect: bool = True):
         self.ds = dataset
         self.batch_size = batch_size
         self.max_gt = max_gt
         self.canvas = canvas
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
+        # GroupSampler semantics (mmdet group_sampler.py:10): batches drawn
+        # within aspect-ratio groups (w/h >= 1 vs < 1). A no-op for the square
+        # AI-TOD/SODA patches, kept for the general COCO case.
+        self.groups = None
+        if group_by_aspect and hasattr(dataset, "img_infos"):
+            flags = []
+            for info in dataset.img_infos:
+                w, h = info.get("width", 1), info.get("height", 1)
+                flags.append(1 if w / max(h, 1) > 1 else 0)
+            flags = np.asarray(flags)
+            if len(np.unique(flags)) > 1:
+                self.groups = [np.nonzero(flags == v)[0] for v in (0, 1)]
 
     def _make_batch(self, idxs) -> Batch:
         imgs, boxes_l, labels_l, valid_l = [], [], [], []
@@ -48,9 +61,17 @@ class TrainLoader:
         )
 
     def epoch(self) -> Iterator[Batch]:
-        order = self.rng.permutation(len(self.ds))
-        n = (len(order) // self.batch_size) * self.batch_size
-        chunks = [order[i:i + self.batch_size] for i in range(0, n, self.batch_size)]
+        if self.groups is None:
+            order = self.rng.permutation(len(self.ds))
+            n = (len(order) // self.batch_size) * self.batch_size
+            chunks = [order[i:i + self.batch_size] for i in range(0, n, self.batch_size)]
+        else:
+            chunks = []
+            for grp in self.groups:
+                order = self.rng.permutation(grp)
+                n = (len(order) // self.batch_size) * self.batch_size
+                chunks += [order[i:i + self.batch_size] for i in range(0, n, self.batch_size)]
+            self.rng.shuffle(chunks)
 
         q: queue.Queue = queue.Queue(maxsize=self.prefetch)
         stop = object()
