@@ -95,6 +95,22 @@ def main():
     else:
         infer = build_inference_fn(model, pt.test, pt.img_size, pt.stride)
 
+    # multi_gpu_test analog: shard eval batches over every visible chip
+    if jax.device_count() > 1 and pt.batch_size % jax.device_count() == 0:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        from point_teacher_tpu.parallel.mesh import make_mesh, replicated
+
+        mesh = make_mesh()
+        data_s = NamedSharding(mesh, P("data"))
+        rep = replicated(mesh)
+        eval_params = jax.device_put(eval_params, rep)
+        _infer = infer
+        infer = lambda p, im, sf: _infer(  # noqa: E731
+            p, jax.device_put(im, data_s), jax.device_put(sf, data_s)
+        )
+        print(f"eval sharded over {jax.device_count()} devices")
+
     if rotated and not args.synthetic_data:
         # SODA-A: per-patch inference -> translate + rotated-NMS merge -> eval
         from point_teacher_tpu.data.loader import EvalLoader
