@@ -48,8 +48,13 @@ class FCOSHead(nn.Module):
         cls_score = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=self.dtype,
                             kernel_init=conv_init, bias_init=bias_init,
                             name="conv_cls")(cls_feat)
+        # small positive bias: with norm_on_bbox the prediction is
+        # relu-clipped, and a spike can otherwise kill a distance channel
+        # permanently (zero gradient below 0) when training from scratch
         bbox_pred = nn.Conv(4, (3, 3), padding=1, dtype=self.dtype,
-                            kernel_init=conv_init, name="conv_reg")(reg_feat)
+                            kernel_init=conv_init,
+                            bias_init=nn.initializers.constant(0.1),
+                            name="conv_reg")(reg_feat)
         ctr_src = reg_feat if self.centerness_on_reg else cls_feat
         centerness = nn.Conv(1, (3, 3), padding=1, dtype=self.dtype,
                              kernel_init=conv_init, name="conv_centerness")(ctr_src)
