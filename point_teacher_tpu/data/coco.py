@@ -36,8 +36,12 @@ class CocoDetDataset:
         name_to_cat = {c["name"]: c["id"] for c in coco.get("categories", [])}
         if not self.CLASSES:
             self.CLASSES = tuple(c["name"] for c in coco.get("categories", []))
-        self.cat_ids = [name_to_cat[n] for n in self.CLASSES]
-        self.cat2label: Dict[int, int] = {cid: i for i, cid in enumerate(self.cat_ids)}
+        # classes absent from the json are tolerated (label index keeps its
+        # position in CLASSES, so checkpoints stay comparable across splits)
+        self.cat_ids = [name_to_cat.get(n) for n in self.CLASSES]
+        self.cat2label: Dict[int, int] = {
+            cid: i for i, cid in enumerate(self.cat_ids) if cid is not None
+        }
 
         anns_by_img: Dict[int, List[dict]] = {}
         for a in coco.get("annotations", []):
