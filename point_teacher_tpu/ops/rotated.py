@@ -59,37 +59,35 @@ def points_in_rbox(points: Array, rboxes: Array) -> Array:
     )
 
 
-def _poly_area(poly_xy: Array, valid: Array) -> Array:
-    """Shoelace area of a padded convex polygon.
-
-    poly_xy: [..., K, 2]; valid: bool [..., K] marking real vertices, which are
-    assumed to be stored contiguously from index 0 (standard for clip output).
-    """
-    k = poly_xy.shape[-2]
-    n = valid.sum(-1)  # number of real vertices
-    idx = jnp.arange(k)
-    # next index modulo n (padded entries contribute 0 via mask)
-    nxt = jnp.where(idx[None] + 1 >= n[..., None], 0, idx[None] + 1)
+def _poly_area(poly_xy: Array) -> Array:
+    """Shoelace area of a closed ring [..., K, 2]. Duplicate (zero-length)
+    edges contribute nothing, so masked-duplicate rings are exact."""
     x, y = poly_xy[..., 0], poly_xy[..., 1]
-    xn = jnp.take_along_axis(x, nxt, axis=-1)
-    yn = jnp.take_along_axis(y, nxt, axis=-1)
-    cross = x * yn - xn * y
-    cross = jnp.where(valid, cross, 0.0)
-    return jnp.abs(cross.sum(-1)) * 0.5
+    xn = jnp.roll(x, -1, axis=-1)
+    yn = jnp.roll(y, -1, axis=-1)
+    return jnp.abs((x * yn - xn * y).sum(-1)) * 0.5
 
 
-def _clip_poly_halfplane(poly: Array, valid: Array, p0: Array, p1: Array):
-    """Clip padded polygon [..., K, 2] against the half-plane left of edge p0->p1.
+def _fill_ring_duplicates(verts: Array, emit: Array) -> Array:
+    """Replace non-emitted slots with their most recent emitted predecessor
+    (ring wrap for leading slots). Keeps ring order WITHOUT any sort — a
+    cummax index scan + one gather (the argsort compaction this replaces was
+    the dominant memory-traffic term of the synthetic generator)."""
+    k = emit.shape[-1]
+    ids = jnp.where(emit, jnp.arange(k), -1)
+    filled = jax.lax.associative_scan(jnp.maximum, ids, axis=-1)
+    last = filled[..., -1:]  # last emitted index overall (ring wrap), -1 if none
+    filled = jnp.where(filled < 0, last, filled)
+    filled = jnp.clip(filled, 0, k - 1)
+    return jnp.take_along_axis(verts, filled[..., None], axis=-2)
 
-    Returns (new_poly [..., 2K, 2], new_valid [..., 2K]) — output vertices are
-    compacted to the front. Fully static shapes.
-    """
+
+def _clip_poly_halfplane(poly: Array, p0: Array, p1: Array):
+    """Clip a closed ring [..., K, 2] (duplicates allowed) against the
+    half-plane left of edge p0->p1. Returns a ring [..., 2K, 2]."""
     k = poly.shape[-2]
-    n = valid.sum(-1)
-    idx = jnp.arange(k)
-    nxt = jnp.where(idx[None] + 1 >= n[..., None], 0, idx[None] + 1)
     cur = poly
-    nxt_v = jnp.take_along_axis(poly, nxt[..., None].repeat(2, -1), axis=-2)
+    nxt_v = jnp.roll(poly, -1, axis=-2)
 
     e = p1 - p0  # [..., 2]
     def side(pt):
@@ -105,17 +103,12 @@ def _clip_poly_halfplane(poly: Array, valid: Array, p0: Array, p1: Array):
     t = s_cur / jnp.where(jnp.abs(denom) < 1e-12, 1e-12, denom)
     inter = cur + t[..., None] * (nxt_v - cur)
 
-    # per input edge emit up to 2 vertices: (cur if inside), (intersection if edge crosses)
-    emit1 = in_cur & valid
-    emit2 = (in_cur ^ in_nxt) & valid
+    # per input edge emit up to 2 vertices: (cur if inside), (crossing point)
+    emit1 = in_cur
+    emit2 = in_cur ^ in_nxt
     verts = jnp.stack([cur, inter], axis=-2).reshape(*poly.shape[:-2], 2 * k, 2)
     emits = jnp.stack([emit1, emit2], axis=-1).reshape(*poly.shape[:-2], 2 * k)
-
-    # compact to front (stable)
-    order = jnp.argsort(~emits, axis=-1, stable=True)
-    verts = jnp.take_along_axis(verts, order[..., None].repeat(2, -1), axis=-2)
-    emits = jnp.take_along_axis(emits, order, axis=-1)
-    return verts, emits
+    return _fill_ring_duplicates(verts, emits), emits.any(-1)
 
 
 def rbox_intersection_area(r1: Array, r2: Array) -> Array:
@@ -127,9 +120,7 @@ def rbox_intersection_area(r1: Array, r2: Array) -> Array:
     p1 = obb2poly(r1).reshape(*r1.shape[:-1], 4, 2)
     p2 = obb2poly(r2).reshape(*r2.shape[:-1], 4, 2)
     poly = p1
-    valid = jnp.ones(p1.shape[:-1], dtype=bool)
-    # ensure p2 edges wind counter-clockwise in (x right, y down)? The winding
-    # of obb2poly is consistent; orient by signed area of p2.
+    # orient the clipper counter-clockwise by its signed area
     x, y = p2[..., 0], p2[..., 1]
     xn = jnp.roll(x, -1, axis=-1)
     yn = jnp.roll(y, -1, axis=-1)
@@ -137,15 +128,15 @@ def rbox_intersection_area(r1: Array, r2: Array) -> Array:
     flip = signed < 0
     p2 = jnp.where(flip[..., None, None], p2[..., ::-1, :], p2)
 
+    nonempty = jnp.ones(p1.shape[:-2], dtype=bool)
     for i in range(4):
         p0 = p2[..., i, :]
         p1e = p2[..., (i + 1) % 4, :]
-        poly, valid = _clip_poly_halfplane(poly, valid, p0, p1e)
-        # cap growth: after each clip the true vertex count is <= 8
-        if poly.shape[-2] > 16:
-            poly = poly[..., :16, :]
-            valid = valid[..., :16]
-    return _poly_area(poly, valid)
+        poly, any_emit = _clip_poly_halfplane(poly, p0, p1e)
+        nonempty = nonempty & any_emit
+    # the true intersection of two quads has <= 8 vertices; the ring carries
+    # duplicates, so the final 64-slot ring is exact under the shoelace
+    return _poly_area(poly) * nonempty
 
 
 def norm_angle_le90(a: Array) -> Array:

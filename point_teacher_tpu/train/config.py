@@ -72,6 +72,7 @@ class PointTeacherConfig(NamedTuple):
         FineProposalCfg(base_ratios=(1.0, 1.2, 1.3, 0.8, 0.7), shake_ratio=(0.1,), min_scale=16.0),
     )
     # synthetic
+    syn_fill_value: float = 255.0  # paint value for masked regions (reference: 255)
     shape_list: Tuple[Tuple[float, float, float, float], ...] = DEFAULT_SHAPE_LIST
     # assigners / losses
     fuse_assigner: FuseAssignerCfg = FuseAssignerCfg(

@@ -128,7 +128,8 @@ def build_rotated_train_step(model: StudentRotatedFCOS, tx, cfg: PointTeacherCon
 
         if phase1:
             img_syn, _, syn_rboxes, syn_valid = generate_black_paper_batch(
-                k_syn, batch.image, batch.gt_boxes, batch.gt_valid, cfg.syn_cfg
+                k_syn, batch.image, batch.gt_boxes, batch.gt_valid, cfg.syn_cfg,
+                fill_value=cfg.syn_fill_value,
             )
             order = jnp.argsort(~syn_valid, axis=-1, stable=True)
             syn_rboxes = jnp.take_along_axis(syn_rboxes, order[..., None], axis=1)

@@ -174,7 +174,8 @@ def build_train_step(model: StudentFCOS, tx, cfg: PointTeacherConfig, donate: bo
 
         if phase1:
             img_syn, syn_boxes, _, syn_valid = generate_black_paper_batch(
-                k_syn, batch.image, batch.gt_boxes, batch.gt_valid, cfg.syn_cfg
+                k_syn, batch.image, batch.gt_boxes, batch.gt_valid, cfg.syn_cfg,
+                fill_value=cfg.syn_fill_value,
             )
             # compact valid synthetic boxes to the front so the [:num_training]
             # cap keeps real boxes (reference slices a dense list)

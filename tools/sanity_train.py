@@ -76,6 +76,7 @@ def main():
                                            gen_num_neg=16),),
         fine_proposal_extensive_cfg=(FineProposalCfg(
             base_ratios=(1.0, 1.2, 0.8), min_scale=4.0),),
+        syn_fill_value=2.0,  # match the harness's normalised pixel range
         optim=PointTeacherConfig().optim._replace(
             base_lr=args.lr, warmup_iters=10, warmup_ratio=1.0,
             iters_per_epoch=10 ** 9),
