@@ -21,13 +21,42 @@ from .rotated import rbox_iou
 Array = jnp.ndarray
 
 
-def _greedy_suppress(iou: Array, order_scores: Array, iou_thr: float) -> Array:
-    """Given a pairwise IoU matrix [N, N] and scores, return keep mask [N].
+def _greedy_suppress(iou: Array, order_scores: Array, iou_thr: float,
+                     iters: int | None = None) -> Array:
+    """Given a pairwise IoU matrix [N, N] and scores, return keep mask [N],
+    matching torch/mmcv greedy NMS (descending-score visit order).
 
-    Matches torch/mmcv greedy NMS: visit boxes in descending score; a box is
-    kept iff not suppressed by an earlier kept box.
+    iters=None runs the exact sequential loop (N while-loop steps — fine off
+    the hot path). An integer runs the PARALLEL greedy fixpoint: each round,
+    every still-undecided box that no higher-priority undecided/kept box
+    overlaps becomes kept, and everything a newly-kept box overlaps dies.
+    This equals sequential greedy once the suppression-chain depth is reached
+    (a handful of rounds in practice); leftovers after `iters` rounds are
+    dropped (conservative). Each round is pure [N, N] matrix work — no
+    sequential while-loop overhead on TPU.
     """
     n = iou.shape[0]
+    if iters is not None:
+        # strict priority: higher score first, ties by lower index (stable)
+        idx = jnp.arange(n)
+        rank = jnp.argsort(jnp.argsort(-order_scores, stable=True), stable=True)
+        higher = rank[None, :] < rank[:, None]  # j outranks i
+        conflict = higher & (iou > iou_thr)  # j can suppress i
+
+        def round_fn(_, carry):
+            alive, keep = carry
+            sup_by_alive = (conflict & alive[None, :]).any(-1)
+            newly = alive & ~sup_by_alive
+            keep = keep | newly
+            dead = ((iou > iou_thr) & newly[None, :] & higher).any(-1)
+            alive = alive & ~newly & ~dead
+            return alive, keep
+
+        alive0 = jnp.ones(n, dtype=bool)
+        keep0 = jnp.zeros(n, dtype=bool)
+        _, keep = jax.lax.fori_loop(0, iters, round_fn, (alive0, keep0))
+        return keep
+
     order = jnp.argsort(-order_scores, stable=True)
     iou_sorted = iou[order][:, order]
 
@@ -45,25 +74,27 @@ def _greedy_suppress(iou: Array, order_scores: Array, iou_thr: float) -> Array:
     return keep
 
 
-def nms(boxes: Array, scores: Array, iou_thr: float, valid=None) -> Array:
+def nms(boxes: Array, scores: Array, iou_thr: float, valid=None,
+        iters: int | None = 64) -> Array:
     """Horizontal NMS. boxes [N,4] xyxy, scores [N] -> keep mask [N]."""
     iou = bbox_overlaps(boxes, boxes, mode="iou")
     if valid is not None:
         scores = jnp.where(valid, scores, -jnp.inf)
         iou = jnp.where(valid[None] & valid[:, None], iou, 0.0)
-    keep = _greedy_suppress(iou, scores, iou_thr)
+    keep = _greedy_suppress(iou, scores, iou_thr, iters=iters)
     if valid is not None:
         keep = keep & valid
     return keep
 
 
-def nms_rotated(rboxes: Array, scores: Array, iou_thr: float, valid=None) -> Array:
+def nms_rotated(rboxes: Array, scores: Array, iou_thr: float, valid=None,
+                iters: int | None = 32) -> Array:
     """Rotated NMS. rboxes [N,5] (cx,cy,w,h,a), scores [N] -> keep mask [N]."""
     iou = rbox_iou(rboxes, rboxes)
     if valid is not None:
         scores = jnp.where(valid, scores, -jnp.inf)
         iou = jnp.where(valid[None] & valid[:, None], iou, 0.0)
-    keep = _greedy_suppress(iou, scores, iou_thr)
+    keep = _greedy_suppress(iou, scores, iou_thr, iters=iters)
     if valid is not None:
         keep = keep & valid
     return keep
@@ -101,7 +132,7 @@ def multiclass_nms_rotated(
     same = top_labels[:, None] == top_labels[None, :]
     iou = jnp.where(same & (top_scores[None] > -jnp.inf) & (top_scores[:, None] > -jnp.inf),
                     iou, 0.0)
-    keep = _greedy_suppress(iou, top_scores, iou_thr) & (top_scores > -jnp.inf)
+    keep = _greedy_suppress(iou, top_scores, iou_thr, iters=64) & (top_scores > -jnp.inf)
 
     final_scores = jnp.where(keep, top_scores, -jnp.inf)
     k = min(max_out, cap)
@@ -152,7 +183,8 @@ def multiclass_nms(
     # only if cap >= max_out; we use cap = max(4096, max_out)).
     cap = min(boxes_off.shape[0], max(4096, max_out))
     top_scores, top_idx = jax.lax.top_k(jnp.where(valid, scores_f, -jnp.inf), cap)
-    keep = nms(boxes_off[top_idx], top_scores, iou_thr, valid=top_scores > -jnp.inf)
+    keep = nms(boxes_off[top_idx], top_scores, iou_thr, valid=top_scores > -jnp.inf,
+               iters=64)
 
     final_scores = jnp.where(keep, top_scores, -jnp.inf)
     k = min(max_out, cap)

@@ -70,3 +70,26 @@ def test_nms_with_valid_mask():
     valid = jnp.array([True, False])
     keep = np.asarray(N.nms(boxes, scores, 0.5, valid=valid))
     assert keep.tolist() == [True, False]
+
+
+def test_parallel_greedy_matches_sequential():
+    rng = np.random.RandomState(7)
+    for trial in range(5):
+        xy = rng.uniform(0, 60, (48, 2)).astype(np.float32)
+        wh = rng.uniform(6, 30, (48, 2)).astype(np.float32)
+        boxes = np.concatenate([xy, xy + wh], -1)
+        scores = rng.rand(48).astype(np.float32)
+        seq = np.asarray(N.nms(jnp.array(boxes), jnp.array(scores), 0.4, iters=None))
+        par = np.asarray(N.nms(jnp.array(boxes), jnp.array(scores), 0.4, iters=64))
+        assert (seq == par).all(), trial
+
+
+def test_parallel_greedy_rotated_matches_sequential():
+    rng = np.random.RandomState(8)
+    rb = np.stack([rng.uniform(10, 60, 32), rng.uniform(10, 60, 32),
+                   rng.uniform(5, 25, 32), rng.uniform(5, 25, 32),
+                   rng.uniform(-1.5, 1.5, 32)], -1).astype(np.float32)
+    scores = rng.rand(32).astype(np.float32)
+    seq = np.asarray(N.nms_rotated(jnp.array(rb), jnp.array(scores), 0.1, iters=None))
+    par = np.asarray(N.nms_rotated(jnp.array(rb), jnp.array(scores), 0.1, iters=32))
+    assert (seq == par).all()
