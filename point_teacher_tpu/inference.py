@@ -13,9 +13,6 @@ detections (dets [max_per_img, 5], labels, valid) per image.
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Tuple
-
 import jax
 import jax.numpy as jnp
 

@@ -19,8 +19,7 @@ Faithfully-preserved quirks (SURVEY.md §7):
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
@@ -130,7 +129,7 @@ def _point_update(state: TrainState, batch: Batch, origin, refined_boxes, gate,
     )
     mask = batch.gt_valid[..., None]
     metrics["refined_points_distance"] = (
-        jnp.where(mask, dist, 0.0).sum() / jnp.maximum(mask.sum() * 1.0, 1.0) * 1.0
+        jnp.where(mask, dist, 0.0).sum() / jnp.maximum(mask.sum(), 1)
     )
     write = gate  # only commit when the MIL branch ran (phase-1 gate)
     ids = batch.image_ids

@@ -130,10 +130,9 @@ def main():
                 patch_dets.append((d[bi, keep, :5], d[bi, keep, 5], l[bi, keep]))
         merged = merge_patch_detections(patch_names, patch_dets, pt.num_classes)
         gt = ds.ori_gt()
+        empty = (np.zeros((0, 5), np.float32), np.zeros(0), np.zeros(0))
         dets_per_img = [
-            merged.get(name.replace(".jpg", ""), merged.get(name,
-                       (np.zeros((0, 5), np.float32), np.zeros(0), np.zeros(0))))
-            for name in [i.rsplit(".", 1)[0] for i in gt["img_ids"]]
+            merged.get(name.rsplit(".", 1)[0], empty) for name in gt["img_ids"]
         ]
         stats = sodaa_evaluate(gt, dets_per_img)
         print("\n--- SODA-A rotated metrics (AP over IoU .5:.95) ---")
