@@ -70,7 +70,10 @@ def main():
 
     cfg = PointTeacherConfig(
         num_classes=args.classes, img_size=args.img, max_gt=args.gt,
-        batch_size=args.batch, burn_in_step=max(args.steps // 2, 1),
+        batch_size=args.batch, burn_in_step=int(args.steps * 0.7),
+        # harness scale: a fast-tracking teacher (the reference's 0.999 needs
+        # tens of thousands of steps to transfer student progress)
+        ema_alpha=0.9,
         num_training_burninstep1=args.gt, num_training_burninstep2=args.gt,
         fine_proposal_cfg=(FineProposalCfg(base_ratios=(1.0,), min_scale=0.0,
                                            gen_num_neg=16),),
@@ -127,10 +130,14 @@ def main():
                 (np.arange(args.batch) + (i * args.batch)) % 64, dtype=jnp.int32),
         )
         state, metrics = step(state, batch, phase1=(i <= cfg.burn_in_step))
-        if i % 10 == 0:
+        if i % 20 == 0:
+            extra = ""
+            if "coarse_bboxes_iou" in metrics:
+                extra = (f" coarse_iou={float(metrics['coarse_bboxes_iou']):.3f}"
+                         f" pseudo_iou={float(metrics.get('pseudo_mean_iou', 0)):.3f}")
             print(f"step {i}: total={float(metrics['total_loss']):.3f} "
                   f"cls={float(metrics['loss_cls']):.3f} "
-                  f"bbox={float(metrics['loss_bbox']):.3f}")
+                  f"bbox={float(metrics['loss_bbox']):.3f}" + extra, flush=True)
 
     student_ap = evaluate(state.params)
     print(f"AP@0.25 after {args.steps} steps (student): {student_ap:.4f}")
