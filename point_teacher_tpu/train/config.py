@@ -83,6 +83,7 @@ class PointTeacherConfig(NamedTuple):
     optim: OptimCfg = OptimCfg()
     test: InferenceCfg = InferenceCfg()
     stride: int = 8
+    remat: bool = False  # rematerialise the student forward (memory for FLOPs)
 
     @property
     def syn_cfg(self) -> SynCfg:

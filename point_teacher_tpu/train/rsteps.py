@@ -160,12 +160,16 @@ def build_rotated_train_step(model: StudentRotatedFCOS, tx, cfg: PointTeacherCon
             # the three student passes fuse into one 3B forward
             aug = make_aug(ps["pseudo_boxes"])
 
+        apply_model = model.apply
+        if cfg.remat:
+            apply_model = jax.checkpoint(lambda p_, x_: model.apply(p_, x_))
+
         def loss_fn(params):
             m = dict(metrics)
             if phase1:
                 b = batch.image.shape[0]
                 img_all = jnp.concatenate([img_syn, batch.image, aug.image], axis=0)
-                outs, feat = model.apply(params, img_all)
+                outs, feat = apply_model(params, img_all)
                 cls_a, bbox_a, ang_a, ctr_a = _flatten_rhead(outs)
                 loss_bbox_syn, loss_ctr_syn = syn_branch_loss_rotated(
                     cls_a[:b], bbox_a[:b], ang_a[:b], ctr_a[:b], points,
@@ -188,7 +192,7 @@ def build_rotated_train_step(model: StudentRotatedFCOS, tx, cfg: PointTeacherCon
                 refined_full = ps["pseudo_boxes"]  # phase-1 refinement discarded
                 aug_local = aug
             else:
-                outs, feat = model.apply(params, batch.image)
+                outs, feat = apply_model(params, batch.image)
                 refined_nt, mil_loss = _run_rmil_stages(
                     model, params, feat, ps["pseudo_boxes"][:, sl],
                     ps["pseudo_labels"][:, sl], batch.gt_valid[:, sl],
@@ -197,7 +201,7 @@ def build_rotated_train_step(model: StudentRotatedFCOS, tx, cfg: PointTeacherCon
                 refined_full = ps["pseudo_boxes"].at[:, sl].set(refined_nt)
                 loss_bbox_syn = loss_ctr_syn = None
                 aug_local = make_aug(refined_full)
-                outs_aug, _ = model.apply(params, aug_local.image)
+                outs_aug, _ = apply_model(params, aug_local.image)
                 cls_g, bbox_g, ang_g, ctr_g = _flatten_rhead(outs_aug)
 
             loss_cls, loss_bbox_ps, loss_ctr_ps = pseudo_branch_loss_rotated(

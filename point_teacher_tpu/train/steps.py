@@ -213,12 +213,16 @@ def build_train_step(model: StudentFCOS, tx, cfg: PointTeacherConfig, donate: bo
             # forward (syn + ori + aug) for MXU utilisation.
             aug = make_aug(ps["pseudo_boxes"])
 
+        apply_model = model.apply
+        if cfg.remat:
+            apply_model = jax.checkpoint(lambda p_, x_: model.apply(p_, x_))
+
         def loss_fn(params):
             m = dict(metrics)
             if phase1:
                 b = batch.image.shape[0]
                 img_all = jnp.concatenate([img_syn, batch.image, aug.image], axis=0)
-                outs, feat = model.apply(params, img_all)
+                outs, feat = apply_model(params, img_all)
                 cls_all, bbox_all, ctr_all = _flatten_head(outs)
                 loss_bbox_syn, loss_ctr_syn = syn_branch_loss(
                     cls_all[:b], bbox_all[:b], ctr_all[:b], points,
@@ -246,7 +250,7 @@ def build_train_step(model: StudentFCOS, tx, cfg: PointTeacherConfig, donate: bo
                 refined_full = ps["pseudo_boxes"]
                 aug_local = aug
             else:
-                outs, feat = model.apply(params, batch.image)
+                outs, feat = apply_model(params, batch.image)
                 refined_nt, mil_loss = _run_mil_stages(
                     model, params, feat, ps["pseudo_boxes"][:, sl],
                     ps["pseudo_labels"][:, sl], batch.gt_valid[:, sl],
@@ -255,7 +259,7 @@ def build_train_step(model: StudentFCOS, tx, cfg: PointTeacherConfig, donate: bo
                 refined_full = ps["pseudo_boxes"].at[:, sl].set(refined_nt)
                 loss_bbox_syn = loss_ctr_syn = None
                 aug_local = make_aug(refined_full)
-                outs_aug, _ = model.apply(params, aug_local.image)
+                outs_aug, _ = apply_model(params, aug_local.image)
                 cls_a, bbox_a, ctr_a = _flatten_head(outs_aug)
 
             loss_cls, loss_bbox_ps, loss_ctr_ps = pseudo_branch_loss(

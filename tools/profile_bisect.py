@@ -83,8 +83,20 @@ def main():
         sv = jnp.pad(v, ((0, 0), (0, slots - v.shape[1])))
         return i, sb, rb, sv
 
+    import point_teacher_tpu.core.synthetic as syn_mod
+    orig_raster = syn_mod.rasterize_rboxes
+    orig_nmsrot = syn_mod.nms_rotated
+
+    def no_raster(rb, vd, h2, w2, row_block=64):
+        return jnp.zeros((h2, w2), bool)
+
+    def no_nms(rb, sc, thr, valid=None, iters=None):
+        return valid if valid is not None else jnp.ones(rb.shape[0], bool)
+
     variants = [
         ("full", {}),
+        ("no rasterize", {"__syn_raster__": no_raster}),
+        ("no syn NMS", {"__syn_nms__": no_nms}),
         ("no MIL (both)", {"_run_mil_stages": no_mil}),
         ("no syn dense loss", {"syn_branch_loss": no_syn_loss}),
         ("no pseudo dense loss", {"pseudo_branch_loss": no_ps_loss}),
@@ -92,12 +104,19 @@ def main():
     ]
     for name, patches in variants:
         for k, v in patches.items():
-            setattr(steps_mod, k, v)
+            if k == "__syn_raster__":
+                syn_mod.rasterize_rboxes = v
+            elif k == "__syn_nms__":
+                syn_mod.nms_rotated = v
+            else:
+                setattr(steps_mod, k, v)
         try:
             step = build(cfg, model, tx)
             t = timeit(step, state, batch)
             print(f"{name:26s} {t:8.1f} ms", flush=True)
         finally:
+            syn_mod.rasterize_rboxes = orig_raster
+            syn_mod.nms_rotated = orig_nmsrot
             steps_mod._run_mil_stages = orig_mil
             steps_mod.syn_branch_loss = orig_syn_loss
             steps_mod.pseudo_branch_loss = orig_ps_loss
