@@ -141,12 +141,18 @@ def build_rotated_train_step(model: StudentRotatedFCOS, tx, cfg: PointTeacherCon
             gate = jnp.array(True)
             gate_f = jnp.ones(())
 
+        def refresh_points(refined_full):
+            # update_points precedes strong augmentation in the reference
+            # (rotated_fcos_teacher_student.py:226,285)
+            new_pts = (1 - cfg.lamda) * refined_full[..., :2] + cfg.lamda * origin
+            return jnp.where(gate, new_pts, gt_points)
+
         def make_aug(refined_full):
             return strong_augment_rotated(
                 k_aug,
                 RAugBatch(
                     image=batch.image,
-                    gt_points=gt_points,
+                    gt_points=refresh_points(refined_full),
                     gt_valid=batch.gt_valid,
                     pseudo_points=refined_full[..., :2],
                     pseudo_rboxes=refined_full,

@@ -190,13 +190,21 @@ def build_train_step(model: StudentFCOS, tx, cfg: PointTeacherConfig, donate: bo
             gate = jnp.array(True)
             gate_f = jnp.ones(())
 
+        def refresh_points(refined_full):
+            """update_points runs BEFORE strong augmentation in the reference
+            (fcos_p2b_teacher_student.py:191,233): the augmented view uses the
+            freshly refined annotation points (a no-op for lamda=1)."""
+            pseudo_centre = xyxy_to_cxcywh(refined_full)[..., :2]
+            new_pts = (1 - cfg.lamda) * pseudo_centre + cfg.lamda * origin
+            return jnp.where(gate, new_pts, gt_points)
+
         def make_aug(refined_full):
             refined_pts = xyxy_to_cxcywh(refined_full)[..., :2]
             return strong_augment(
                 k_aug,
                 AugBatch(
                     image=batch.image,
-                    gt_points=gt_points,
+                    gt_points=refresh_points(refined_full),
                     gt_valid=batch.gt_valid,
                     pseudo_points=refined_pts,
                     pseudo_boxes=refined_full,

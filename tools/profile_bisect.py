@@ -93,13 +93,24 @@ def main():
     def no_nms(rb, sc, thr, valid=None, iters=None):
         return valid if valid is not None else jnp.ones(rb.shape[0], bool)
 
+    def no_chains(key, bxs, gt_valid, dense_cls_max):
+        import point_teacher_tpu.core.synthetic as sm
+        ch = jnp.zeros((sm.CHAIN_SLOTS, 7), bxs.dtype)
+        cv = jnp.zeros((sm.CHAIN_SLOTS,), bool)
+        return ch, cv
+
+    orig_chains = syn_mod._adjacency_chains
+
+    def depcut(k, i, bx, v, c, fill_value=255.0):
+        o, sb, srb, sv = orig_syngen(k, i, bx, v, c, fill_value=fill_value)
+        # keep all outputs except the image dependency
+        return i + 0.0 * o.mean(), sb, srb, sv
+
     variants = [
         ("full", {}),
-        ("no rasterize", {"__syn_raster__": no_raster}),
-        ("no syn NMS", {"__syn_nms__": no_nms}),
-        ("no MIL (both)", {"_run_mil_stages": no_mil}),
-        ("no syn dense loss", {"syn_branch_loss": no_syn_loss}),
-        ("no pseudo dense loss", {"pseudo_branch_loss": no_ps_loss}),
+        ("no raster+NMS", {"__syn_raster__": no_raster, "__syn_nms__": no_nms}),
+        ("no chains", {"__syn_chains__": no_chains}),
+        ("dep-cut image", {"generate_black_paper_batch": depcut}),
         ("no syn gen", {"generate_black_paper_batch": no_syngen}),
     ]
     for name, patches in variants:
@@ -108,6 +119,8 @@ def main():
                 syn_mod.rasterize_rboxes = v
             elif k == "__syn_nms__":
                 syn_mod.nms_rotated = v
+            elif k == "__syn_chains__":
+                syn_mod._adjacency_chains = v
             else:
                 setattr(steps_mod, k, v)
         try:
@@ -117,6 +130,7 @@ def main():
         finally:
             syn_mod.rasterize_rboxes = orig_raster
             syn_mod.nms_rotated = orig_nmsrot
+            syn_mod._adjacency_chains = orig_chains
             steps_mod._run_mil_stages = orig_mil
             steps_mod.syn_branch_loss = orig_syn_loss
             steps_mod.pseudo_branch_loss = orig_ps_loss

@@ -119,15 +119,20 @@ def main():
     ap0 = evaluate(state.teacher_params if args.trainer != "fcos" else state.params)
     print(f"AP@0.25 before training: {ap0:.4f}")
 
+    # fixed dataset cycled in epochs: the per-image point cache in TrainState
+    # is keyed by image id, so ids must always map to the same image
     r = np.random.RandomState(0)
+    n_data_batches = 16
+    dataset = [make_visible_batch(r, args.batch, args.img, args.gt, args.classes)
+               for _ in range(n_data_batches)]
     for i in range(args.steps):
-        img, boxes, labels = make_visible_batch(r, args.batch, args.img,
-                                                args.gt, args.classes)
+        bi = i % n_data_batches
+        img, boxes, labels = dataset[bi]
         batch = Batch(
             image=jnp.asarray(img), gt_boxes=jnp.asarray(boxes),
             gt_labels=jnp.asarray(labels), gt_valid=jnp.ones((args.batch, args.gt), bool),
-            image_ids=jnp.asarray(
-                (np.arange(args.batch) + (i * args.batch)) % 64, dtype=jnp.int32),
+            image_ids=jnp.asarray(np.arange(args.batch) + bi * args.batch,
+                                  dtype=jnp.int32),
         )
         state, metrics = step(state, batch, phase1=(i <= cfg.burn_in_step))
         if i % 20 == 0:
