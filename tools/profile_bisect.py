@@ -107,10 +107,8 @@ def main():
         return i + 0.0 * o.mean(), sb, srb, sv
 
     variants = [
-        ("full", {}),
-        ("no raster+NMS", {"__syn_raster__": no_raster, "__syn_nms__": no_nms}),
-        ("no chains", {"__syn_chains__": no_chains}),
-        ("dep-cut image", {"generate_black_paper_batch": depcut}),
+        ("no rasterize", {"__syn_raster__": no_raster}),
+        ("no syn NMS", {"__syn_nms__": no_nms}),
         ("no syn gen", {"generate_black_paper_batch": no_syngen}),
     ]
     for name, patches in variants:
@@ -124,6 +122,16 @@ def main():
             else:
                 setattr(steps_mod, k, v)
         try:
+            # the synthetic generator is itself jitted: clear its trace cache
+            # so monkeypatched internals actually take effect
+            try:
+                syn_mod.generate_black_paper_batch.clear_cache()
+            except Exception:
+                pass
+            try:
+                syn_mod.rasterize_rboxes.clear_cache()
+            except Exception:
+                pass
             step = build(cfg, model, tx)
             t = timeit(step, state, batch)
             print(f"{name:26s} {t:8.1f} ms", flush=True)
