@@ -43,19 +43,23 @@ def _greedy_suppress(iou: Array, order_scores: Array, iou_thr: float,
         higher = rank[None, :] < rank[:, None]  # j outranks i
         conflict = higher & (iou > iou_thr)  # j can suppress i
 
-        def round_fn(_, carry):
+        overlap = iou > iou_thr
+
+        def round_fn(carry):
             alive, keep = carry
             sup_by_alive = (conflict & alive[None, :]).any(-1)
             newly = alive & ~sup_by_alive
             keep = keep | newly
-            dead = ((iou > iou_thr) & newly[None, :] & higher).any(-1)
+            dead = (overlap & newly[None, :] & higher).any(-1)
             alive = alive & ~newly & ~dead
             return alive, keep
 
-        alive0 = jnp.ones(n, dtype=bool)
-        keep0 = jnp.zeros(n, dtype=bool)
-        _, keep = jax.lax.fori_loop(0, iters, round_fn, (alive0, keep0))
-        return keep
+        # UNROLLED python loop: per-iteration dispatch of lax loops costs
+        # ~ms on this backend, dwarfing the [N, N] boolean math itself
+        carry = (jnp.ones(n, dtype=bool), jnp.zeros(n, dtype=bool))
+        for _ in range(iters):
+            carry = round_fn(carry)
+        return carry[1]
 
     order = jnp.argsort(-order_scores, stable=True)
     iou_sorted = iou[order][:, order]
