@@ -70,16 +70,20 @@ def _poly_area(poly_xy: Array) -> Array:
 
 def _fill_ring_duplicates(verts: Array, emit: Array) -> Array:
     """Replace non-emitted slots with their most recent emitted predecessor
-    (ring wrap for leading slots). Keeps ring order WITHOUT any sort — a
-    cummax index scan + one gather (the argsort compaction this replaces was
-    the dominant memory-traffic term of the synthetic generator)."""
+    (ring wrap for leading slots). Implemented as an UNROLLED where-scan over
+    the (small, static) slot axis — pure elementwise selects, no gathers and
+    no sorts (both were the dominant cost of the pairwise rotated IoU)."""
     k = emit.shape[-1]
-    ids = jnp.where(emit, jnp.arange(k), -1)
-    filled = jax.lax.associative_scan(jnp.maximum, ids, axis=-1)
-    last = filled[..., -1:]  # last emitted index overall (ring wrap), -1 if none
-    filled = jnp.where(filled < 0, last, filled)
-    filled = jnp.clip(filled, 0, k - 1)
-    return jnp.take_along_axis(verts, filled[..., None], axis=-2)
+    # last emitted vertex overall (for the ring wrap of leading slots)
+    last = verts[..., 0, :]
+    for i in range(k):
+        last = jnp.where(emit[..., i, None], verts[..., i, :], last)
+    filled = []
+    cur = last
+    for i in range(k):
+        cur = jnp.where(emit[..., i, None], verts[..., i, :], cur)
+        filled.append(cur)
+    return jnp.stack(filled, axis=-2)
 
 
 def _clip_poly_halfplane(poly: Array, p0: Array, p1: Array):
