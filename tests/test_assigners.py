@@ -112,3 +112,24 @@ def test_hungarian_assign_one_to_one():
     fg = assigned[assigned >= 0]
     assert len(fg) == 3
     assert sorted(fg.tolist()) == [0, 1, 2]
+
+
+def test_hierarchical_assign():
+    from point_teacher_tpu.core.rfla import HieAssignerCfg, hierarchical_assign
+
+    anchors = jnp.array([
+        [0.0, 0.0, 8.0, 8.0], [8.0, 0.0, 16.0, 8.0], [0.0, 8.0, 8.0, 16.0],
+        [40.0, 40.0, 48.0, 48.0], [100.0, 100.0, 108.0, 108.0],
+    ])
+    gts = jnp.array([[1.0, 1.0, 7.0, 7.0], [41.0, 41.0, 47.0, 47.0],
+                     [0.0, 0.0, 1.0, 1.0]])
+    valid = jnp.array([True, True, False])
+    out = np.asarray(hierarchical_assign(anchors, gts, valid,
+                                         HieAssignerCfg(topk=(2, 1))))
+    assert out[0] == 0      # anchor 0 claimed by gt0
+    assert out[3] == 1      # anchor 3 claimed by gt1
+    assert (out != 2).all()  # padded gt never assigns
+    # inside filter drops off-centre positives
+    out2 = np.asarray(hierarchical_assign(
+        anchors, gts, valid, HieAssignerCfg(topk=(2, 1), inside=True)))
+    assert out2[0] == 0
