@@ -20,15 +20,16 @@ from .pipeline import pad_gts, preprocess
 
 
 class TrainLoader:
-    def __init__(self, dataset: CocoDetDataset, batch_size: int, max_gt: int,
+    def __init__(self, dataset, batch_size: int, max_gt: int,
                  canvas: int = 800, seed: int = 0, prefetch: int = 2,
-                 group_by_aspect: bool = True):
+                 group_by_aspect: bool = True, img_norm=None):
         self.ds = dataset
         self.batch_size = batch_size
         self.max_gt = max_gt
         self.canvas = canvas
         self.rng = np.random.RandomState(seed)
         self.prefetch = prefetch
+        self.img_norm = img_norm
         # GroupSampler semantics (mmdet group_sampler.py:10): batches drawn
         # within aspect-ratio groups (w/h >= 1 vs < 1). A no-op for the square
         # AI-TOD/SODA patches, kept for the general COCO case.
@@ -46,7 +47,8 @@ class TrainLoader:
         imgs, boxes_l, labels_l, valid_l = [], [], [], []
         for i in idxs:
             ann = self.ds.get_ann(i)
-            img, boxes, _ = preprocess(self.ds.image_path(i), ann["boxes"], self.canvas)
+            img, boxes, _ = preprocess(self.ds.image_path(i), ann["boxes"], self.canvas,
+                                       img_norm=self.img_norm)
             b, l, v = pad_gts(boxes, ann["labels"], self.max_gt)
             imgs.append(img)
             boxes_l.append(b)
@@ -91,10 +93,11 @@ class TrainLoader:
 
 
 class EvalLoader:
-    def __init__(self, dataset: CocoDetDataset, batch_size: int, canvas: int = 800):
+    def __init__(self, dataset, batch_size: int, canvas: int = 800, img_norm=None):
         self.ds = dataset
         self.batch_size = batch_size
         self.canvas = canvas
+        self.img_norm = img_norm
 
     def __iter__(self):
         n = len(self.ds)
@@ -102,7 +105,8 @@ class EvalLoader:
             idxs = list(range(start, min(start + self.batch_size, n)))
             imgs, scales = [], []
             for i in idxs:
-                img, _, scale = preprocess(self.ds.image_path(i), None, self.canvas)
+                img, _, scale = preprocess(self.ds.image_path(i), None, self.canvas,
+                                           img_norm=self.img_norm)
                 imgs.append(img)
                 scales.append(scale)
             # pad the tail batch to full size (masked by idx count)

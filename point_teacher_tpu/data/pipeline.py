@@ -46,19 +46,35 @@ def preprocess(
     path: str,
     boxes: np.ndarray,
     canvas: int = 800,
+    img_norm=None,
 ):
-    """-> (image [canvas,canvas,3] raw pixels, boxes scaled, scale_factor [4])."""
+    """-> (image [canvas,canvas,3], boxes scaled, scale_factor [4]).
+
+    img_norm: optional dict(mean, std) — identity (raw 0-255) for the AI-TOD
+    configs, ImageNet stats for SODA-A (config img_norm_cfg). Images are
+    loaded RGB, matching the reference's to_rgb=True convention.
+    """
     img = load_image(path)
     img, scale = resize_keep_ratio(img, (canvas, canvas))
+    if img_norm is not None:
+        mean = np.asarray(img_norm["mean"], np.float32)
+        std = np.asarray(img_norm["std"], np.float32)
+        img = (img - mean) / std
     img = pad_to_canvas(img, canvas)
     if boxes is not None and len(boxes):
-        boxes = boxes * scale[None]
+        if boxes.shape[-1] == 5:  # rotated: scale centre + size, keep angle
+            boxes = boxes.copy()
+            boxes[:, :2] *= scale[:2]
+            boxes[:, 2:4] *= scale[:2]
+        else:
+            boxes = boxes * scale[None]
     return img, boxes, scale
 
 
 def pad_gts(boxes: np.ndarray, labels: np.ndarray, max_gt: int):
+    dim = boxes.shape[-1] if len(boxes) else 4
     g = min(len(boxes), max_gt)
-    out_b = np.zeros((max_gt, 4), np.float32)
+    out_b = np.zeros((max_gt, dim), np.float32)
     out_l = np.zeros((max_gt,), np.int32)
     out_v = np.zeros((max_gt,), bool)
     out_b[:g] = boxes[:g]

@@ -119,7 +119,8 @@ def main():
 
         ds = SODAADataset(cfg["dataset"]["val_ann"], cfg["dataset"]["val_img_prefix"],
                           ori_ann_folder=cfg["dataset"].get("ori_val_ann"))
-        loader = EvalLoader(ds, pt.batch_size, pt.img_size)
+        loader = EvalLoader(ds, pt.batch_size, pt.img_size,
+                            img_norm=cfg["dataset"].get("img_norm"))
         patch_names, patch_dets = [], []
         for idxs, imgs, scales in loader:
             d, l, v = infer(eval_params, jnp.asarray(imgs), jnp.asarray(scales))

@@ -116,11 +116,21 @@ def main():
         n_images = args.synthetic_data
         batches_fn = synthetic_dataset(n_images, pt, args.seed, rotated=rotated)
     else:
-        from point_teacher_tpu.data import AITODDataset, TrainLoader
+        from point_teacher_tpu.data import TrainLoader
 
-        ds = AITODDataset(cfg["dataset"]["train_ann"], cfg["dataset"]["train_img_prefix"])
+        if rotated:
+            from point_teacher_tpu.data.sodaa import SODAADataset
+
+            ds = SODAADataset(cfg["dataset"]["train_ann"],
+                              cfg["dataset"]["train_img_prefix"])
+        else:
+            from point_teacher_tpu.data import AITODDataset
+
+            ds = AITODDataset(cfg["dataset"]["train_ann"],
+                              cfg["dataset"]["train_img_prefix"])
         n_images = len(ds)
-        loader = TrainLoader(ds, pt.batch_size, pt.max_gt, pt.img_size, seed=args.seed)
+        loader = TrainLoader(ds, pt.batch_size, pt.max_gt, pt.img_size, seed=args.seed,
+                             img_norm=cfg["dataset"].get("img_norm"))
         batches_fn = lambda bs: loader.epoch()  # noqa: E731
         print(f"dataset: {len(ds)} images, {len(ds.CLASSES)} classes")
 
