@@ -185,6 +185,96 @@ def roi_align_gather(
     return out.reshape(-1, out_size, out_size, c)[:n]
 
 
+@partial(jax.jit, static_argnames=("out_size", "sampling_ratio", "spatial_scale",
+                                   "chunk", "window"))
+def roi_align_rotated_matmul(
+    feat: Array,
+    rrois: Array,
+    out_size: int = 7,
+    spatial_scale: float = 1.0 / 8,
+    sampling_ratio: int = 2,
+    chunk: int = 64,
+    window: int = 32,
+) -> Array:
+    """Rotated RoIAlign as windowed MXU matmuls (OBB hot path).
+
+    Rotated sampling is not axis-separable over bins, but each SAMPLE's
+    bilinear weight factorises as hat(y)*hat(x). Extract a `window`^2 feature
+    patch around each roi (contiguous dynamic-slice gather), then contract the
+    per-sample hat weights against it with two einsums. Exact while the roi's
+    rotated sampling grid fits the window (window*8px = 256px covers SODA-A
+    objects by a wide margin); larger rois clamp to the window border —
+    matching the behaviour of sampling a clamped grid.
+    """
+    h, w, c = feat.shape
+    n = rrois.shape[0]
+    s = sampling_ratio
+    ss = out_size * s  # samples per axis
+
+    cx = rrois[:, 0] * spatial_scale
+    cy = rrois[:, 1] * spatial_scale
+    bw = rrois[:, 2] * spatial_scale
+    bh = rrois[:, 3] * spatial_scale
+    ang = rrois[:, 4]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+    offs = (jnp.arange(s, dtype=feat.dtype) + 0.5) / s
+    bins = jnp.arange(out_size, dtype=feat.dtype)
+    frac = ((bins[:, None] + offs[None, :]) / out_size - 0.5).reshape(-1)  # [ss]
+
+    # absolute sample coords [N, ss(y-bin), ss(x-bin)]
+    bx = frac[None, None, :] * bw[:, None, None]
+    by = frac[None, :, None] * bh[:, None, None]
+    sx = cos[:, None, None] * bx - sin[:, None, None] * by + cx[:, None, None] - 0.5
+    sy = sin[:, None, None] * bx + cos[:, None, None] * by + cy[:, None, None] - 0.5
+
+    # window origin (top-left feature cell), clamped inside the map
+    wy0 = jnp.clip(jnp.floor(cy - window / 2), 0, max(h - window, 0)).astype(jnp.int32)
+    wx0 = jnp.clip(jnp.floor(cx - window / 2), 0, max(w - window, 0)).astype(jnp.int32)
+
+    # mmcv border rule, then clamp into the window's coverage
+    valid = ((sx >= -1.0) & (sx <= w * 1.0) & (sy >= -1.0) & (sy <= h * 1.0))
+    ry = jnp.clip(sy - wy0[:, None, None], 0.0, window - 1.0)
+    rx = jnp.clip(sx - wx0[:, None, None], 0.0, window - 1.0)
+    # also clamp to the true feature border inside the window
+    ry = jnp.minimum(ry, (h - 1 - wy0)[:, None, None].astype(feat.dtype))
+    rx = jnp.minimum(rx, (w - 1 - wx0)[:, None, None].astype(feat.dtype))
+
+    k = jnp.arange(window, dtype=feat.dtype)
+    hy = jnp.maximum(0.0, 1.0 - jnp.abs(ry[..., None] - k))  # [N, ss, ss, W]
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(rx[..., None] - k))
+    hy = hy * valid[..., None]
+
+    feat_c = feat.astype(jnp.float32)
+
+    def one_chunk(args):
+        wy0_c, wx0_c, hy_c, hx_c = args
+        nc = wy0_c.shape[0]
+
+        def extract(y0, x0):
+            return jax.lax.dynamic_slice(feat_c, (y0, x0, 0), (window, window, c))
+
+        win = jax.vmap(extract)(wy0_c, wx0_c)  # [Nc, W, W, C]
+        # per-sample 2D weight = hat(y) (x) hat(x): [Nc, ss*ss, W*W],
+        # then one batched [samples, W*W] @ [W*W, C] matmul per roi (MXU)
+        wgt = (hy_c[..., :, None] * hx_c[..., None, :]).reshape(
+            nc, ss * ss, window * window)
+        out = jnp.einsum("nsp,npc->nsc", wgt, win.reshape(nc, window * window, c),
+                         preferred_element_type=jnp.float32)
+        out = out.reshape(nc, out_size, s, out_size, s, c).mean(axis=(2, 4))
+        return out
+
+    if n <= chunk:
+        return one_chunk((wy0, wx0, hy, hx)).astype(feat.dtype)
+    pad = (-n) % chunk
+    wy0_p = jnp.pad(wy0, (0, pad)).reshape(-1, chunk)
+    wx0_p = jnp.pad(wx0, (0, pad)).reshape(-1, chunk)
+    hy_p = jnp.pad(hy, ((0, pad), (0, 0), (0, 0), (0, 0))).reshape(-1, chunk, ss, ss, window)
+    hx_p = jnp.pad(hx, ((0, pad), (0, 0), (0, 0), (0, 0))).reshape(-1, chunk, ss, ss, window)
+    out = jax.lax.map(one_chunk, (wy0_p, wx0_p, hy_p, hx_p))
+    return out.reshape(-1, out_size, out_size, c)[:n].astype(feat.dtype)
+
+
 @partial(jax.jit, static_argnames=("out_size", "sampling_ratio", "spatial_scale", "chunk"))
 def roi_align_rotated(
     feat: Array,

@@ -70,7 +70,7 @@ def mil_stage_rotated(
     the angle is re-attached; selection merges 5-dim boxes.
     """
     from ..ops.boxes import cxcywh_to_xyxy, xyxy_to_cxcywh
-    from ..ops.roi_align import roi_align_rotated
+    from ..ops.roi_align import roi_align_rotated_matmul
     from ..ops.rotated import rbox_iou
 
     b, g = rboxes.shape[:2]
@@ -101,8 +101,10 @@ def mil_stage_rotated(
     )
 
     def pool(feat, rr):
-        return roi_align_rotated(feat, rr, out_size=7, spatial_scale=1.0 / 8,
-                                 chunk=roi_chunk)
+        # MXU windowed rotated RoIAlign (exact while the rotated sampling grid
+        # fits the 32-cell window = 256px; MIL bags on SODA-A are far smaller)
+        return roi_align_rotated_matmul(feat, rr, out_size=7, spatial_scale=1.0 / 8,
+                                        chunk=64, window=32)
 
     roi_feats = jax.vmap(pool)(mil_feat, ext_rb.reshape(b, -1, 5))
     n = roi_feats.shape[1]

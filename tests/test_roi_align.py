@@ -118,3 +118,34 @@ def test_roi_align_matmul_chunked():
     a = roi_align_matmul(feat, rois, chunk=8)
     b = roi_align_matmul(feat, rois, chunk=256)
     assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_roi_align_rotated_matmul_matches_gather():
+    from point_teacher_tpu.ops.roi_align import roi_align_rotated, roi_align_rotated_matmul
+
+    rng = np.random.RandomState(9)
+    feat = jnp.array(rng.randn(40, 40, 8).astype(np.float32))
+    rr = np.stack([
+        rng.uniform(40, 280, 17), rng.uniform(40, 280, 17),
+        rng.uniform(8, 100, 17), rng.uniform(8, 100, 17),
+        rng.uniform(-np.pi / 2, np.pi / 2, 17),
+    ], -1).astype(np.float32)
+    a = roi_align_rotated(feat, jnp.array(rr), sampling_ratio=2)
+    b = roi_align_rotated_matmul(feat, jnp.array(rr), sampling_ratio=2, window=32)
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3), \
+        np.abs(np.asarray(a) - np.asarray(b)).max()
+
+
+def test_roi_align_rotated_matmul_chunked():
+    from point_teacher_tpu.ops.roi_align import roi_align_rotated_matmul
+
+    rng = np.random.RandomState(10)
+    feat = jnp.array(rng.randn(24, 24, 4).astype(np.float32))
+    rr = np.stack([
+        rng.uniform(30, 160, 37), rng.uniform(30, 160, 37),
+        rng.uniform(8, 60, 37), rng.uniform(8, 60, 37),
+        rng.uniform(-1.5, 1.5, 37),
+    ], -1).astype(np.float32)
+    a = roi_align_rotated_matmul(feat, jnp.array(rr), chunk=8, window=16)
+    b = roi_align_rotated_matmul(feat, jnp.array(rr), chunk=64, window=16)
+    assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
