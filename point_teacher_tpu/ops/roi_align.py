@@ -210,6 +210,7 @@ def roi_align_rotated_matmul(
     n = rrois.shape[0]
     s = sampling_ratio
     ss = out_size * s  # samples per axis
+    window = min(window, h, w)  # small feature maps: window covers everything
 
     cx = rrois[:, 0] * spatial_scale
     cy = rrois[:, 1] * spatial_scale
