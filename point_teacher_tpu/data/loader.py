@@ -10,12 +10,12 @@ from __future__ import annotations
 
 import queue
 import threading
-from typing import Iterator, Optional
+from typing import Iterator
 
 import numpy as np
 
 from ..train.state import Batch
-from .coco import CocoDetDataset
+
 from .pipeline import pad_gts, preprocess
 
 

@@ -17,7 +17,7 @@ to `make_mesh` and keeping batch sharding on the flattened axis.
 """
 from __future__ import annotations
 
-from typing import Optional, Sequence
+from typing import Optional, Sequence  # noqa: F401 (public API typing)
 
 import jax
 import numpy as np
