@@ -59,6 +59,7 @@ def main():
     ap.add_argument("--classes", type=int, default=3)
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--trainer", default="fcos", choices=["fcos", "point_teacher"])
+    ap.add_argument("--frozen-stages", type=int, default=1)
     args = ap.parse_args()
     import jax
 
@@ -90,6 +91,7 @@ def main():
         syn_fill_value=2.0,  # match the harness's normalised pixel range
         optim=PointTeacherConfig().optim._replace(
             base_lr=args.lr, warmup_iters=10, warmup_ratio=1.0,
+            frozen_stages=args.frozen_stages,
             iters_per_epoch=10 ** 9),
     )
     model = StudentFCOS(num_classes=cfg.num_classes, dtype=jnp.float32)
