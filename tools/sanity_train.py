@@ -4,7 +4,8 @@ objects (bright class-coded rectangles on noise) and verify AP rises.
 Status notes (2026-08-16): the box-supervised trainer reaches AP@.25 = 0.97
 in 800 from-scratch steps at 256px on TPU with --frozen-stages 0 (a frozen
 RANDOM stem blocks from-scratch learning; real configs freeze a PRETRAINED
-stem). The full teacher-student loop improves its pseudo
+stem). The full teacher-student loop (--trainer point_teacher) reaches
+student AP@.25 = 0.37 / teacher 0.32 in 1500 steps at 256px from points only. The full teacher-student loop improves its pseudo
 boxes during/after burn-in (coarse IoU 0 -> 0.42 within 600 steps) but can
 collapse in long phase-2 stretches at this toy scale — self-distillation
 without pretrained grounding is fragile; the reference setting relies on
