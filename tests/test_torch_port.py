@@ -15,13 +15,14 @@ def _fake_torch_resnet50_state():
     sd = {}
 
     def conv(name, o, i, k):
-        sd[name + ".weight"] = torch.randn(o, i, k, k)
+        # small magnitudes so the 50-layer forward stays finite
+        sd[name + ".weight"] = torch.randn(o, i, k, k) * 0.02
 
     def bn(name, c):
-        sd[name + ".weight"] = torch.randn(c)
-        sd[name + ".bias"] = torch.randn(c)
-        sd[name + ".running_mean"] = torch.randn(c)
-        sd[name + ".running_var"] = torch.rand(c) + 0.5
+        sd[name + ".weight"] = 1.0 + torch.randn(c) * 0.05
+        sd[name + ".bias"] = torch.randn(c) * 0.05
+        sd[name + ".running_mean"] = torch.randn(c) * 0.05
+        sd[name + ".running_var"] = torch.rand(c) * 0.2 + 0.9
 
     conv("conv1", 64, 3, 7)
     bn("bn1", 64)
