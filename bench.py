@@ -34,16 +34,20 @@ def main():
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--batch", type=int, default=2)
     ap.add_argument("--phase2", action="store_true", help="bench phase-2 instead")
+    ap.add_argument("--rotated", action="store_true",
+                    help="bench the SODA-A rotated step (1200px) instead")
     args = ap.parse_args()
 
     from point_teacher_tpu.core.proposals import FineProposalCfg
-    from point_teacher_tpu.train.config import PointTeacherConfig
+    from point_teacher_tpu.train.config import PointTeacherConfig, config_sodaa
     from point_teacher_tpu.train.optim import make_optimizer
     from point_teacher_tpu.train.state import Batch, create_train_state
     from point_teacher_tpu.train.steps import build_train_step
     from point_teacher_tpu.models.detector import StudentFCOS
 
-    if args.quick:
+    if args.rotated:
+        cfg = config_sodaa(batch_size=args.batch)
+    elif args.quick:
         cfg = PointTeacherConfig(
             img_size=64, max_gt=4, batch_size=args.batch,
             num_training_burninstep1=4, num_training_burninstep2=4,
@@ -57,26 +61,39 @@ def main():
         cfg = PointTeacherConfig(batch_size=args.batch)
 
     rng = jax.random.PRNGKey(0)
-    model = StudentFCOS(num_classes=cfg.num_classes, num_stages=cfg.num_stages,
-                        dtype=jnp.bfloat16)
+    if args.rotated:
+        from point_teacher_tpu.models.rotated_detector import StudentRotatedFCOS as _M
+    else:
+        _M = StudentFCOS
+    model = _M(num_classes=cfg.num_classes, num_stages=cfg.num_stages,
+               dtype=jnp.bfloat16)
     params = model.init(
         rng,
         jnp.zeros((1, cfg.img_size, cfg.img_size, 3)),
         jnp.zeros((1, 7, 7, 256)),
-        method=StudentFCOS.init_all,
+        method=_M.init_all,
     )
     tx = make_optimizer(params, cfg.optim)
     state = create_train_state(params, tx, num_images=1024, max_gt=cfg.max_gt, rng=rng)
-    step = build_train_step(model, tx, cfg, donate=True)
+    if args.rotated:
+        from point_teacher_tpu.train.rsteps import build_rotated_train_step
+
+        step = build_rotated_train_step(model, tx, cfg, donate=True)
+    else:
+        step = build_train_step(model, tx, cfg, donate=True)
 
     r = np.random.RandomState(0)
     b, g, s = args.batch, cfg.max_gt, cfg.img_size
     cxy = r.uniform(20, s - 20, (b, g, 2))
     wh = r.uniform(4, 16, (b, g, 2))
+    if args.rotated:
+        ang = r.uniform(-np.pi / 2, np.pi / 2, (b, g, 1))
+        gt = np.concatenate([cxy, wh, ang], -1)
+    else:
+        gt = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1)
     batch = Batch(
         image=jnp.asarray(r.randint(0, 255, (b, s, s, 3)).astype(np.float32)),
-        gt_boxes=jnp.asarray(np.concatenate([cxy - wh / 2, cxy + wh / 2], -1),
-                             dtype=jnp.float32),
+        gt_boxes=jnp.asarray(gt, dtype=jnp.float32),
         gt_labels=jnp.asarray(r.randint(0, cfg.num_classes, (b, g)), dtype=jnp.int32),
         gt_valid=jnp.ones((b, g), bool),
         image_ids=jnp.arange(b, dtype=jnp.int32),
@@ -97,9 +114,11 @@ def main():
     imgs_per_sec = args.batch / med
 
     baseline_imgs_per_sec = 4.0  # see module docstring
+    metric = ("train_imgs_per_sec_per_chip_rotated_1200px" if args.rotated
+              else "train_imgs_per_sec_quick" if args.quick
+              else "train_imgs_per_sec_per_chip_phase1_800px")
     print(json.dumps({
-        "metric": "train_imgs_per_sec_per_chip_phase1_800px" if not args.quick
-        else "train_imgs_per_sec_quick",
+        "metric": metric,
         "value": round(imgs_per_sec, 3),
         "unit": "imgs/s",
         "vs_baseline": round(imgs_per_sec / baseline_imgs_per_sec, 3),
