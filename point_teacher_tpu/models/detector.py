@@ -32,10 +32,12 @@ class StudentFCOS(nn.Module):
     stride: int = 8
     num_stages: int = 1
     mil_stack_conv: int = 0
+    frozen_stages: int = -1  # mirror cfg.optim.frozen_stages to skip frozen backward
     dtype: Any = jnp.bfloat16
 
     def setup(self):
-        self.backbone = ResNet(depth=self.depth, style=self.backbone_style, dtype=self.dtype)
+        self.backbone = ResNet(depth=self.depth, style=self.backbone_style,
+                               frozen_stages=self.frozen_stages, dtype=self.dtype)
         self.neck = FPN(out_channels=self.feat_channels, dtype=self.dtype)
         self.neck_agg = PSAGG(num_aggregation=5, out_channels=self.feat_channels,
                               dtype=self.dtype)

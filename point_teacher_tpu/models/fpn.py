@@ -14,17 +14,9 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ._resize import resize_nearest as _upsample_nearest_2x
+
 Array = jnp.ndarray
-
-
-def _upsample_nearest_2x(x: Array, out_hw) -> Array:
-    """Nearest-neighbour to the lateral's size (F.interpolate(size=...,
-    mode='nearest') index mapping — handles odd pyramid sizes)."""
-    oh, ow = out_hw
-    b, h, w, c = x.shape
-    iy = (jnp.arange(oh) * h) // oh
-    ix = (jnp.arange(ow) * w) // ow
-    return x[:, iy][:, :, ix]
 
 
 class FPN(nn.Module):

@@ -11,19 +11,9 @@ from typing import Any, Sequence
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ._resize import resize_nearest as _resize_nearest
+
 Array = jnp.ndarray
-
-
-def _resize_nearest(x: Array, out_hw) -> Array:
-    """Nearest-neighbour resize to an arbitrary (usually ~2x) target, matching
-    F.interpolate(mode='nearest') index mapping: src = floor(dst * h / oh)."""
-    oh, ow = out_hw
-    b, h, w, c = x.shape
-    if (oh, ow) == (h, w):
-        return x
-    iy = (jnp.arange(oh) * h) // oh
-    ix = (jnp.arange(ow) * w) // ow
-    return x[:, iy][:, :, ix]
 
 
 class PSAGG(nn.Module):

@@ -17,6 +17,7 @@ from __future__ import annotations
 from typing import Any, Sequence
 
 import flax.linen as nn
+import jax
 import jax.numpy as jnp
 
 Array = jnp.ndarray
@@ -111,6 +112,13 @@ class ResNet(nn.Module):
     depth: int = 50
     out_indices: Sequence[int] = (0, 1, 2, 3)
     style: str = "caffe"
+    # torch `_freeze_stages` semantics (resnet.py frozen_stages): 0 freezes the
+    # stem, k>=1 additionally freezes layers 1..k. Frozen params get exactly
+    # zero gradients (requires_grad=False skips their backward in torch); here
+    # a stop_gradient at the frozen/trainable boundary lets XLA dead-code the
+    # frozen prefix's backward pass — the optimizer mask (train/optim.py)
+    # independently guarantees no updates either way.
+    frozen_stages: int = -1
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -124,6 +132,8 @@ class ResNet(nn.Module):
         h = nn.relu(h)
         # torch MaxPool2d(kernel=3, stride=2, padding=1)
         h = nn.max_pool(h, (3, 3), strides=(2, 2), padding=((1, 1), (1, 1)))
+        if self.frozen_stages >= 0:
+            h = jax.lax.stop_gradient(h)
 
         outs = []
         planes = 64
@@ -137,6 +147,8 @@ class ResNet(nn.Module):
                     dtype=self.dtype,
                     name=f"layer{stage + 1}_block{b}",
                 )(h)
+            if self.frozen_stages >= stage + 1:
+                h = jax.lax.stop_gradient(h)
             if stage in self.out_indices:
                 outs.append(h)
             planes *= 2

@@ -97,7 +97,8 @@ def main():
             frozen_stages=args.frozen_stages,
             iters_per_epoch=10 ** 9),
     )
-    model = StudentFCOS(num_classes=cfg.num_classes, dtype=jnp.float32)
+    model = StudentFCOS(num_classes=cfg.num_classes,
+                        frozen_stages=args.frozen_stages, dtype=jnp.float32)
     rng = jax.random.PRNGKey(0)
     params = model.init(rng, jnp.zeros((1, args.img, args.img, 3)),
                         jnp.zeros((1, 7, 7, 256)), method=StudentFCOS.init_all)

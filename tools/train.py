@@ -97,7 +97,7 @@ def main():
     model_cls = StudentRotatedFCOS if rotated else StudentFCOS
     model = model_cls(
         num_classes=pt.num_classes, num_stages=pt.num_stages,
-        mil_stack_conv=0, dtype=jnp.bfloat16,
+        mil_stack_conv=0, frozen_stages=pt.optim.frozen_stages, dtype=jnp.bfloat16,
         **{k: v for k, v in cfg.get("model", {}).items()
            if k in ("depth", "backbone_style")},
     )
