@@ -1,0 +1,87 @@
+"""RFLA multi-level FCOS head: trf table, targets, forward, train step
+(capability: HBB_TOD/mmdet/models/dense_heads/rfla_fcos_head.py:30)."""
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from point_teacher_tpu.core.rfla import HieAssignerCfg
+from point_teacher_tpu.models.rfla_fcos_head import (
+    RFLAFCOS, gen_trf, level_points_and_rfields, rfla_targets,
+)
+
+
+def test_gen_trf_matches_reference_table():
+    # rfla_fcos_head.py:584: trfs = [35, 91, 267, 427, 555, 811]
+    assert gen_trf() == (35, 91, 267, 427, 555, 811)
+
+
+def test_level_points_and_rfields_geometry():
+    points, rfields, sizes, strides = level_points_and_rfields(128, (8, 16, 32))
+    assert sizes == [16, 8, 4]
+    assert points.shape[0] == 16 * 16 + 8 * 8 + 4 * 4 == rfields.shape[0]
+    # rfields are squares centred on the points with the level's trf*fraction
+    w = np.asarray(rfields[:, 2] - rfields[:, 0])
+    np.testing.assert_allclose(w[:256], 91 / 3, rtol=1e-6)   # P3 -> trf index 1
+    np.testing.assert_allclose(w[256:320], 267 / 3, rtol=1e-6)  # P4
+    c = np.asarray((rfields[:, :2] + rfields[:, 2:]) / 2)
+    np.testing.assert_allclose(c, np.asarray(points), atol=1e-4)
+
+
+def test_rfla_targets_assigns_gt_to_best_matching_level():
+    points, rfields, _, _ = level_points_and_rfields(128, (8, 16, 32))
+    # a ~30px object: its Gaussian best matches P3 rfields (w ~30.3)
+    gt = jnp.array([[40.0, 40.0, 70.0, 70.0]])
+    labels, tgts = rfla_targets(points, rfields, gt, jnp.array([3]),
+                                jnp.array([True]), num_classes=8)
+    labels = np.asarray(labels)
+    pos = np.where(labels == 3)[0]
+    assert len(pos) >= 1
+    assert (pos < 256).all(), f"expected P3 positives, got indices {pos}"
+    # the positive nearest the GT centre carries sane ltrb targets
+    p = pos[np.argmin(np.abs(np.asarray(points)[pos] - 55.0).sum(-1))]
+    l, t, r, b = np.asarray(tgts)[p]
+    assert abs((l + r) - 30.0) < 1e-4 and abs((t + b) - 30.0) < 1e-4
+    # all-background when no valid GT
+    labels0, _ = rfla_targets(points, rfields, gt, jnp.array([3]),
+                              jnp.array([False]), num_classes=8)
+    assert (np.asarray(labels0) == 8).all()
+
+
+def test_rfla_fcos_forward_and_train_step():
+    from point_teacher_tpu.train.config import PointTeacherConfig
+    from point_teacher_tpu.train.optim import make_optimizer
+    from point_teacher_tpu.train.rfla_baseline import build_rfla_train_step
+    from point_teacher_tpu.train.state import Batch, create_train_state
+
+    img_size, b, g = 64, 2, 4
+    cfg = PointTeacherConfig(num_classes=4, img_size=img_size, max_gt=g,
+                             batch_size=b)
+    model = RFLAFCOS(num_classes=4, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, img_size, img_size, 3)))
+    outs = model.apply(params, jnp.zeros((2, img_size, img_size, 3)))
+    assert len(outs) == 5
+    assert outs[0][0].shape == (2, 8, 8, 4)  # P3 cls at stride 8
+    assert outs[0][1].shape == (2, 8, 8, 4)
+    assert outs[0][2].shape == (2, 8, 8, 1)
+
+    tx = make_optimizer(params, cfg.optim)
+    state = create_train_state(params, tx, num_images=8, max_gt=g, rng=rng)
+    step = build_rfla_train_step(model, tx, cfg)
+    r = np.random.RandomState(0)
+    cxy = r.uniform(12, img_size - 12, (b, g, 2)).astype(np.float32)
+    wh = r.uniform(6, 20, (b, g, 2)).astype(np.float32)
+    batch = Batch(
+        image=jnp.asarray(r.randint(0, 255, (b, img_size, img_size, 3)).astype(np.float32)),
+        gt_boxes=jnp.asarray(np.concatenate([cxy - wh / 2, cxy + wh / 2], -1)),
+        gt_labels=jnp.asarray(r.randint(0, 4, (b, g)), dtype=jnp.int32),
+        gt_valid=jnp.ones((b, g), bool),
+        image_ids=jnp.arange(b, dtype=jnp.int32),
+    )
+    new_state, m = step(state, batch)
+    for k in ("loss_cls", "loss_bbox", "loss_centerness", "total_loss"):
+        assert np.isfinite(float(m[k])), (k, m[k])
+    assert float(m["num_pos"]) >= 1
+    h0 = state.params["params"]["bbox_head"]["conv_cls"]["kernel"]
+    h1 = new_state.params["params"]["bbox_head"]["conv_cls"]["kernel"]
+    assert not np.allclose(np.asarray(h0), np.asarray(h1))

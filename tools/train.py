@@ -34,6 +34,9 @@ def parse_args():
                     help="train on N fabricated images instead of the dataset")
     ap.add_argument("--max-steps", type=int, default=0, help="stop after N steps (0=full)")
     ap.add_argument("--ckpt-interval", type=int, default=1, help="epochs between ckpts")
+    ap.add_argument("--val-interval", type=int, default=0, metavar="EPOCHS",
+                    help="run val evaluation every N epochs and track the best "
+                         "mAP checkpoint (EvalHook analog; 0 = off)")
     return ap.parse_args()
 
 
@@ -94,18 +97,27 @@ def main():
     work_dir = args.work_dir or cfg.get("work_dir", "work_dirs/default")
     os.makedirs(work_dir, exist_ok=True)
 
-    model_cls = StudentRotatedFCOS if rotated else StudentFCOS
-    model = model_cls(
-        num_classes=pt.num_classes, num_stages=pt.num_stages,
-        mil_stack_conv=0, frozen_stages=pt.optim.frozen_stages, dtype=jnp.bfloat16,
-        **{k: v for k, v in cfg.get("model", {}).items()
-           if k in ("depth", "backbone_style")},
-    )
     rng = jax.random.PRNGKey(args.seed)
-    params = model.init(
-        rng, jnp.zeros((1, pt.img_size, pt.img_size, 3)),
-        jnp.zeros((1, 7, 7, 256)), method=model_cls.init_all,
-    )
+    model_kw = {k: v for k, v in cfg.get("model", {}).items()
+                if k in ("depth", "backbone_style")}
+    if trainer == "rfla_fcos":
+        from point_teacher_tpu.models.rfla_fcos_head import RFLAFCOS
+
+        model = RFLAFCOS(num_classes=pt.num_classes,
+                         frozen_stages=pt.optim.frozen_stages,
+                         dtype=jnp.bfloat16, **model_kw)
+        params = model.init(rng, jnp.zeros((1, pt.img_size, pt.img_size, 3)))
+    else:
+        model_cls = StudentRotatedFCOS if rotated else StudentFCOS
+        model = model_cls(
+            num_classes=pt.num_classes, num_stages=pt.num_stages,
+            mil_stack_conv=0, frozen_stages=pt.optim.frozen_stages,
+            dtype=jnp.bfloat16, **model_kw,
+        )
+        params = model.init(
+            rng, jnp.zeros((1, pt.img_size, pt.img_size, 3)),
+            jnp.zeros((1, 7, 7, 256)), method=model_cls.init_all,
+        )
     pretrained = cfg.get("model", {}).get("pretrained")
     if pretrained:
         from point_teacher_tpu.utils.torch_port import load_torch_resnet50_into
@@ -148,6 +160,11 @@ def main():
 
         fcos_step = build_fcos_train_step(model, tx, pt, donate=False)
         step_fn = lambda s, b, phase1: fcos_step(s, b)  # noqa: E731
+    elif trainer == "rfla_fcos":
+        from point_teacher_tpu.train.rfla_baseline import build_rfla_train_step
+
+        rfla_step = build_rfla_train_step(model, tx, pt, donate=False)
+        step_fn = lambda s, b, phase1: rfla_step(s, b)  # noqa: E731
     elif rotated:
         from point_teacher_tpu.train.rsteps import build_rotated_train_step
 
@@ -168,6 +185,33 @@ def main():
     else:
         shard = lambda b: b  # noqa: E731
 
+    # EvalHook analog (reference registers EvalHook(val_dataloader, interval=12)
+    # at mmdet/apis/train.py:141-150): periodic val mAP + best-ckpt tracking.
+    val_state = {"infer": None, "best": -1.0}
+
+    def run_validation(cur_state, epoch_no, cur_step):
+        from point_teacher_tpu.evalx.runner import build_infer, evaluate_detector
+
+        if trainer == "rfla_fcos":
+            print("val-interval: rfla_fcos has no inference path yet, skipping")
+            return
+        if val_state["infer"] is None:
+            val_state["infer"] = build_infer(model, pt, rotated)
+        ap_, stats = evaluate_detector(
+            val_state["infer"], cur_state.teacher_params, pt, cfg, rotated=rotated,
+            synthetic_n=args.synthetic_data, quiet=True,
+        )
+        logger.step(cur_step, epoch_no, {"val_mAP": ap_}, lr=float(schedule(cur_step)))
+        print(f"epoch {epoch_no}: val mAP = {ap_:.4f}"
+              + (f" (best {val_state['best']:.4f})" if val_state["best"] >= 0 else ""))
+        if ap_ > val_state["best"]:
+            val_state["best"] = ap_
+            best_path = os.path.join(work_dir, "best.ckpt")
+            save_checkpoint(cur_state, best_path,
+                            meta=dict(epoch=epoch_no, step=cur_step,
+                                      num_images=n_images, val_mAP=ap_))
+            print(f"new best mAP {ap_:.4f} -> {best_path}")
+
     step = int(state.step)
     start_epoch = step // iters_per_epoch
     stop = False
@@ -182,6 +226,8 @@ def main():
             if args.max_steps and step >= args.max_steps:
                 stop = True
                 break
+        if args.val_interval and ((epoch + 1) % args.val_interval == 0 or stop):
+            run_validation(state, epoch + 1, step)
         if (epoch + 1) % args.ckpt_interval == 0 or stop:
             meta = dict(epoch=epoch + 1, step=step, num_images=n_images)
             path = os.path.join(work_dir, f"epoch_{epoch + 1}.ckpt")
