@@ -17,6 +17,8 @@ def main():
     ap.add_argument("checkpoint", nargs="?")
     ap.add_argument("--score-thr", type=float, default=0.3)
     ap.add_argument("--out", help="save detections as .npz")
+    ap.add_argument("--out-img", help="save an annotated image "
+                                      "(model.show_result analog)")
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -36,6 +38,21 @@ def main():
     if args.out:
         np.savez(args.out, **{c: r for c, r in zip(det.CLASSES, results)})
         print(f"saved: {args.out}")
+    if args.out_img:
+        from point_teacher_tpu.data.pipeline import load_image
+        from point_teacher_tpu.utils.visualize import (
+            imshow_det_bboxes, imshow_det_rbboxes,
+        )
+
+        boxes = np.concatenate([r[:, :-1] for r in results], 0)
+        scores = np.concatenate([r[:, -1] for r in results], 0)
+        labels = np.concatenate(
+            [np.full(len(r), i) for i, r in enumerate(results)], 0)
+        drawer = imshow_det_rbboxes if det.rotated else imshow_det_bboxes
+        drawer(load_image(args.img), boxes, labels, scores,
+               class_names=det.CLASSES, score_thr=args.score_thr,
+               out_file=args.out_img)
+        print(f"saved annotated image: {args.out_img}")
 
 
 if __name__ == "__main__":
