@@ -94,3 +94,132 @@ def test_match_prefers_higher_iou():
 def test_olrp_perfect():
     out = _olrp(np.asarray([0.9]), np.asarray([1.0]), 1, 0.25)
     assert np.allclose(out, [0, 0, 0, 0])
+
+
+# --- adversarial canonical-semantics fixtures (pycocotools evaluateImg /
+# accumulate quirks, hand-derived; pins VERDICT r1 "eval parity" risks) ---
+
+
+def test_ignore_matching_order_regular_gt_wins_over_higher_iou_ignored():
+    """Canonical COCOeval visits regular GTs first and BREAKS at the first
+    ignored GT once a regular match exists — so a det matches a regular GT at
+    IoU 0.5 even when an ignored GT overlaps at IoU ~1.0."""
+    dets = np.array([[0.0, 0.0, 10.0, 10.0, 0.9]])
+    # gt0 ignored (huge IoU with det), gt1 regular (IoU = 0.5 exactly)
+    gts = np.array([[0.0, 0.0, 10.0, 10.0],
+                    [0.0, 0.0, 10.0, 5.0]])
+    gt_ignore = np.array([True, False])
+    dt_iou, dt_ig, n_reg = _match_img(dets, gts, gt_ignore, iou_thr=0.25)
+    assert n_reg == 1
+    assert not dt_ig[0], "det must be a scored TP (matched the regular gt)"
+    assert abs(dt_iou[0] - 0.5) < 1e-9, dt_iou
+
+
+def test_ignored_gt_absorbs_det_only_when_no_regular_match():
+    dets = np.array([[0.0, 0.0, 10.0, 10.0, 0.9]])
+    gts = np.array([[0.0, 0.0, 10.0, 10.0],   # ignored
+                    [50.0, 50.0, 60.0, 60.0]])  # regular, zero IoU
+    dt_iou, dt_ig, n_reg = _match_img(dets, gts, np.array([True, False]), 0.25)
+    assert dt_ig[0], "det matched only the ignored gt -> neither TP nor FP"
+    assert dt_iou[0] > 0.99
+
+
+def test_equal_iou_tie_goes_to_later_gt():
+    """cocoeval's `if ious < iou: continue` means a later GT with EQUAL IoU
+    replaces the earlier candidate; the earlier GT stays free for the next
+    det. Two dets, two gts, all pairwise IoUs equal -> both dets match."""
+    d = np.array([[0.0, 0.0, 10.0, 10.0, 0.9],
+                  [0.0, 0.0, 10.0, 10.0, 0.8]])
+    g = np.array([[0.0, 0.0, 10.0, 10.0],
+                  [0.0, 0.0, 10.0, 10.0]])
+    iou = _iou_xyxy(d[:, :4], g)
+    assert np.allclose(iou, 1.0)
+    dt_iou, dt_ig, _ = _match_img(d, g, np.zeros(2, bool), 0.25)
+    assert (dt_iou >= 0).all(), "tie handling must leave gt0 free for det2"
+
+
+def test_unmatched_det_outside_area_range_is_not_fp():
+    """A tiny unmatched det is ignored (not FP) in the medium bucket but IS a
+    FP in the very-tiny bucket (dtIg |= (dtm==0) & area-out)."""
+    gt = _gt([[[0, 0, 40, 40]]], [[0]], classes=("a",))  # area 1600: 'm'
+    tp = (np.array([[0, 0, 40, 40]], np.float32), np.array([0.9]), np.array([0]))
+    # add a 4x4 (area 16, 'vt') false det far away
+    dets = [(np.array([[0, 0, 40, 40], [100, 100, 104, 104]], np.float32),
+             np.array([0.9, 0.8]), np.array([0, 0]))]
+    stats = COCOStyleEval(gt, dets).evaluate()
+    # medium bucket: the vt det is ignored -> AP_m stays 1
+    assert stats["mAP_m"] == 1.0, stats
+    # vt bucket: no regular gt -> bucket undefined (-1), but overall AP ('all'
+    # range) counts the vt det as FP after the TP -> precision envelope keeps
+    # AP at 1.0 for recall<=1.0? No: FP comes AFTER the only TP, so the
+    # envelope at all recall points up to 1.0 is 1.0 -> mAP 1.0.
+    assert stats["mAP"] == 1.0
+    # now score the FP ABOVE the TP: precision at recall 1.0 becomes 0.5
+    dets2 = [(np.array([[0, 0, 40, 40], [100, 100, 104, 104]], np.float32),
+              np.array([0.8, 0.9]), np.array([0, 0]))]
+    stats2 = COCOStyleEval(gt, dets2).evaluate()
+    assert abs(stats2["mAP"] - 0.5) < 1e-9
+    # ...but in the medium bucket the vt FP is ignored even when ranked first
+    assert stats2["mAP_m"] == 1.0
+
+
+def test_det_matching_out_of_range_gt_is_ignored_not_fp():
+    """A det matched to a GT outside the area range inherits the GT's ignore
+    flag (dtIg = gtIg[m]) instead of counting as FP."""
+    # one medium gt (area 1600) + one vt gt (area 16); eval the vt bucket
+    gt = _gt([[[0, 0, 40, 40], [50, 50, 54, 54]]], [[0, 0]], classes=("a",))
+    dets = [(np.array([[0, 0, 40, 40], [50, 50, 54, 54]], np.float32),
+             np.array([0.9, 0.8]), np.array([0, 0]))]
+    stats = COCOStyleEval(gt, dets).evaluate()
+    # vt bucket: medium det matched the (ignored-there) medium gt -> ignored;
+    # vt det is a clean TP -> AP_vt = 1
+    assert stats["mAP_vt"] == 1.0, stats
+    assert stats["mAP_m"] == 1.0
+
+
+def test_maxdets_caps_per_image_before_matching():
+    """AR@k uses only the k highest-scored dets per image: with the TP ranked
+    below k FPs, AR@1 misses it while AR@3 finds it."""
+    gt = _gt([[[0, 0, 10, 10]]], [[0]], classes=("a",))
+    dets = [(np.array([[50, 50, 60, 60], [70, 70, 80, 80], [0, 0, 10, 10]],
+                      np.float32),
+             np.array([0.9, 0.8, 0.7]), np.array([0, 0, 0]))]
+    ev = COCOStyleEval(gt, dets, max_dets=(1, 2, 3))
+    stats = ev.evaluate()
+    assert stats["AR@1"] == 0.0
+    assert stats["AR@2"] == 0.0
+    assert stats["AR@3"] == 1.0
+
+
+def test_cross_image_score_ties_keep_image_order():
+    """accumulate() sorts concatenated dets with a STABLE sort, so equal
+    scores keep image order: img0's TP precedes img1's FP -> precision at the
+    first recall point is 1.0 (AP = 1 with a single gt)."""
+    gt = _gt([[[0, 0, 10, 10]], []], [[0], []], classes=("a",))
+    tp_first = [
+        (np.array([[0, 0, 10, 10]], np.float32), np.array([0.5]), np.array([0])),
+        (np.array([[90, 90, 99, 99]], np.float32), np.array([0.5]), np.array([0])),
+    ]
+    stats = COCOStyleEval(gt, tp_first).evaluate()
+    assert stats["mAP"] == 1.0
+    # flip the images: the FP (img0) now precedes the TP at equal score
+    gt2 = _gt([[], [[0, 0, 10, 10]]], [[], [0]], classes=("a",))
+    fp_first = [tp_first[1], tp_first[0]]
+    stats2 = COCOStyleEval(gt2, fp_first).evaluate()
+    assert abs(stats2["mAP"] - 0.5) < 1e-9
+
+
+def test_olrp_threshold_edges():
+    """Hand-derived oLRP: one TP at IoU exactly tau has loc error 1 -> LRP 1
+    everywhere; one PERFECT TP (IoU 1) alone gives LRP 0."""
+    perfect = _olrp(np.array([0.9]), np.array([1.0]), ngt=1, tau=0.25)
+    assert np.allclose(perfect, [0.0, 0.0, 0.0, 0.0]), perfect
+    at_tau = _olrp(np.array([0.9]), np.array([0.25]), ngt=1, tau=0.25)
+    # loc err (1-.25)/(1-.25)=1 -> lrp = 1/1 = 1; the no-detection baseline
+    # (fn=1) is also 1.0 -> best stays the baseline
+    assert abs(at_tau[0] - 1.0) < 1e-9
+    # TP iou .625 (halfway): keep-1 lrp = 0.5; adding a trailing FP is
+    # rejected by the optimal threshold (keep-2 lrp = (0.5+1)/2 = 0.75)
+    half = _olrp(np.array([0.9, 0.8]), np.array([0.625, -1.0]), ngt=1, tau=0.25)
+    assert abs(half[0] - 0.5) < 1e-9 and abs(half[1] - 0.5) < 1e-9
+    assert half[2] == 0.0 and half[3] == 0.0
