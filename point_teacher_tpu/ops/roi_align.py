@@ -11,9 +11,16 @@ Design notes (TPU):
   feature map. Gathers are HBM-bandwidth bound; rois are processed in chunks
   to bound live memory. A Pallas double-buffered variant can slot in later
   behind the same signature.
-- mmcv uses `aligned=True, sampling_ratio=0` (adaptive). Adaptive sampling is
-  a dynamic shape, so we use a fixed sampling_ratio (default 2) — a documented
-  deviation with negligible numerical effect at 7x7 bins.
+- The HBB extractor uses mmcv's default `aligned=True, sampling_ratio=0`
+  (adaptive: ceil(roi_extent/out) samples per axis). Dynamic sample counts
+  would be dynamic shapes, but in the matmul formulation the sample count only
+  changes the hat WEIGHTS, never a shape — so `sampling_ratio=0` here computes
+  masked sample grids of up to `ADAPTIVE_SMAX` per-roi samples and reproduces
+  mmcv adaptive semantics exactly for bins up to ADAPTIVE_SMAX cells
+  (56*ADAPTIVE_SMAX px rois at stride 8; larger rois clamp to ADAPTIVE_SMAX
+  samples). The rotated extractor is configured with `sample_num=2`
+  (rotated_fcos_head_p2rb_ts.py:114-118), so the rotated kernels keep a fixed
+  ratio of 2 — exact parity.
 """
 from __future__ import annotations
 
@@ -68,13 +75,48 @@ def _hat_weights(coords: Array, size: int) -> Array:
     return w.mean(axis=-2)  # average the S samples of each bin
 
 
+ADAPTIVE_SMAX = 4  # exact adaptive sampling for bins up to 4 cells (224px rois)
+
+
+def _axis_weights(start: Array, bin_sz: Array, out_size: int, size: int,
+                  sampling_ratio: int, dtype) -> Array:
+    """Per-roi hat-weight matrix [N, out_size, size] for one axis.
+
+    sampling_ratio > 0: fixed sample count (all rois share the grid).
+    sampling_ratio == 0: mmcv adaptive — sn = ceil(bin cells) per roi, realised
+    as a masked [ADAPTIVE_SMAX] sample grid (weights change, shapes don't).
+    """
+    if sampling_ratio > 0:
+        s = sampling_ratio
+        offs = (jnp.arange(s, dtype=dtype) + 0.5) / s  # [s]
+        bins = jnp.arange(out_size, dtype=dtype)
+        frac = bins[:, None] + offs[None, :]  # [out, s]
+        coords = start[:, None, None] + frac[None] * bin_sz[:, None, None] - 0.5
+        return _hat_weights(coords, size)
+    smax = ADAPTIVE_SMAX
+    # mmcv: roi_bin_grid = ceil(roi_extent / pooled_size) = ceil(bin cells)
+    sn = jnp.clip(jnp.ceil(bin_sz), 1, smax).astype(dtype)  # [N]
+    k = jnp.arange(smax, dtype=dtype)
+    offs = (k[None, :] + 0.5) / sn[:, None]  # [N, smax]
+    mask = k[None, :] < sn[:, None]  # [N, smax]
+    bins = jnp.arange(out_size, dtype=dtype)
+    frac = bins[None, :, None] + offs[:, None, :]  # [N, out, smax]
+    coords = start[:, None, None] + frac * bin_sz[:, None, None] - 0.5
+    valid = (coords >= -1.0) & (coords <= size * 1.0) & mask[:, None, :]
+    c = jnp.clip(coords, 0.0, size - 1.0)
+    cells = jnp.arange(size, dtype=dtype)
+    w = jnp.maximum(0.0, 1.0 - jnp.abs(c[..., None] - cells))  # [N, out, smax, size]
+    w = w * valid[..., None]
+    return w.sum(axis=-2) / sn[:, None, None]
+
+
 @partial(jax.jit, static_argnames=("out_size", "sampling_ratio", "spatial_scale", "chunk"))
 def roi_align_matmul(
     feat: Array,
     rois: Array,
     out_size: int = 7,
     spatial_scale: float = 1.0 / 8,
-    sampling_ratio: int = 2,
+    sampling_ratio: int = 0,
     chunk: int = 256,
 ) -> Array:
     """RoIAlign as two separable MXU matmuls (TPU hot path).
@@ -84,11 +126,11 @@ def roi_align_matmul(
     that fold the per-bin sample average. Numerically identical to the
     gather-based version (same border rules) but runs on the MXU instead of
     scattering gathers across HBM: ~50 GFLOP for 2500 rois on a 100x100x256
-    map vs ~2M row-gathers.
+    map vs ~2M row-gathers. sampling_ratio=0 (default) reproduces mmcv's
+    adaptive sampling exactly (see module docstring).
     """
     h, w, c = feat.shape
     n = rois.shape[0]
-    s = sampling_ratio
 
     x1 = rois[:, 0] * spatial_scale
     y1 = rois[:, 1] * spatial_scale
@@ -96,15 +138,9 @@ def roi_align_matmul(
     y2 = rois[:, 3] * spatial_scale
     bin_w = jnp.maximum(x2 - x1, 1e-6) / out_size
     bin_h = jnp.maximum(y2 - y1, 1e-6) / out_size
-    offs = (jnp.arange(s, dtype=feat.dtype) + 0.5) / s
-    bins = jnp.arange(out_size, dtype=feat.dtype)
-    frac = bins[:, None] + offs[None, :]  # [out, s]
 
-    sx = x1[:, None, None] + frac[None] * bin_w[:, None, None] - 0.5  # [N, out, s]
-    sy = y1[:, None, None] + frac[None] * bin_h[:, None, None] - 0.5
-
-    wy = _hat_weights(sy, h)  # [N, out, H]
-    wx = _hat_weights(sx, w)  # [N, out, W]
+    wy = _axis_weights(y1, bin_h, out_size, h, sampling_ratio, feat.dtype)  # [N, out, H]
+    wx = _axis_weights(x1, bin_w, out_size, w, sampling_ratio, feat.dtype)  # [N, out, W]
 
     feat_c = feat.astype(jnp.float32)
 
@@ -134,16 +170,18 @@ def roi_align_gather(
     rois: Array,
     out_size: int = 7,
     spatial_scale: float = 1.0 / 8,
-    sampling_ratio: int = 2,
+    sampling_ratio: int = 0,
     chunk: int = 1024,
 ) -> Array:
     """feat [H, W, C] (single image, NHWC-sliced), rois [N, 4] xyxy in image
     coords -> [N, out, out, C]. Reference gather implementation (golden oracle
-    for roi_align_matmul; also fine on CPU)."""
+    for roi_align_matmul; also fine on CPU). sampling_ratio=0 = mmcv adaptive
+    via a masked ADAPTIVE_SMAX sample grid."""
     h, w, c = feat.shape
     feat_flat = feat.reshape(h * w, c)
     n = rois.shape[0]
-    s = sampling_ratio
+    s = sampling_ratio if sampling_ratio > 0 else ADAPTIVE_SMAX
+    adaptive = sampling_ratio <= 0
 
     x1 = rois[:, 0] * spatial_scale
     y1 = rois[:, 1] * spatial_scale
@@ -154,33 +192,43 @@ def roi_align_gather(
     roi_h = jnp.maximum(y2 - y1, 1e-6)
     bin_w = roi_w / out_size
     bin_h = roi_h / out_size
+    if adaptive:
+        sn_x = jnp.clip(jnp.ceil(bin_w), 1, s).astype(feat.dtype)
+        sn_y = jnp.clip(jnp.ceil(bin_h), 1, s).astype(feat.dtype)
+    else:
+        sn_x = sn_y = jnp.full((n,), float(s), feat.dtype)
 
-    # static sample offsets within a bin
-    offs = (jnp.arange(s, dtype=feat.dtype) + 0.5) / s  # [s]
+    k = jnp.arange(s, dtype=feat.dtype)
     bins = jnp.arange(out_size, dtype=feat.dtype)  # [out]
-    # grid over (bin, sample): [out, s]
-    frac = bins[:, None] + offs[None, :]
 
     def one_chunk(rois_chunk):
-        cx1, cbw = rois_chunk[:, 0], rois_chunk[:, 1]
-        cy1, cbh = rois_chunk[:, 2], rois_chunk[:, 3]
-        # sample coords [Nc, out, s]
-        sx = cx1[:, None, None] + frac[None] * cbw[:, None, None] - 0.5
-        sy = cy1[:, None, None] + frac[None] * cbh[:, None, None] - 0.5
-        # broadcast to [Nc, out, s, out, s]
+        cx1, cbw, csx = rois_chunk[:, 0], rois_chunk[:, 1], rois_chunk[:, 4]
+        cy1, cbh, csy = rois_chunk[:, 2], rois_chunk[:, 3], rois_chunk[:, 5]
         nc = rois_chunk.shape[0]
+        # per-roi sample offsets and masks [Nc, s]
+        offs_x = (k[None, :] + 0.5) / csx[:, None]
+        offs_y = (k[None, :] + 0.5) / csy[:, None]
+        mask_x = k[None, :] < csx[:, None]
+        mask_y = k[None, :] < csy[:, None]
+        # sample coords [Nc, out, s]
+        sx = cx1[:, None, None] + (bins[None, :, None] + offs_x[:, None, :]) * cbw[:, None, None] - 0.5
+        sy = cy1[:, None, None] + (bins[None, :, None] + offs_y[:, None, :]) * cbh[:, None, None] - 0.5
+        # broadcast to [Nc, out, s, out, s]
         sx_b = jnp.broadcast_to(sx[:, None, None, :, :], (nc, out_size, s, out_size, s))
         sy_b = jnp.broadcast_to(sy[:, :, :, None, None], (nc, out_size, s, out_size, s))
         vals = _bilinear_gather(feat_flat, h, w, sx_b, sy_b)  # [Nc, out, s, out, s, C]
-        return vals.mean(axis=(2, 4))  # [Nc, out, out, C]
+        m = (mask_y[:, None, :, None, None] & mask_x[:, None, None, None, :])
+        vals = vals * m[..., None]
+        return vals.sum(axis=(2, 4)) / (csy * csx)[:, None, None, None]
 
-    packed = jnp.stack([x1, bin_w, y1, bin_h], axis=-1)
+    packed = jnp.stack([x1, bin_w, y1, bin_h, sn_x, sn_y], axis=-1)
     if n <= chunk:
         return one_chunk(packed)
-    # pad to a multiple of chunk and scan
+    # pad to a multiple of chunk and scan (pad sn with 1 to avoid div-by-zero)
     pad = (-n) % chunk
-    packed_p = jnp.pad(packed, ((0, pad), (0, 0)))
-    blocks = packed_p.reshape(-1, chunk, 4)
+    packed_p = jnp.pad(packed, ((0, pad), (0, 0)),
+                       constant_values=1.0)
+    blocks = packed_p.reshape(-1, chunk, 6)
     out = jax.lax.map(one_chunk, blocks)
     return out.reshape(-1, out_size, out_size, c)[:n]
 

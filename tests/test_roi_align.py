@@ -61,6 +61,112 @@ def test_roi_align_matches_numpy_oracle():
     assert np.allclose(np.asarray(ours), ref, atol=1e-4), np.abs(np.asarray(ours) - ref).max()
 
 
+def _numpy_roi_align_adaptive(feat_hwc, rois, out=7, scale=1 / 8):
+    """mmcv/torchvision `sampling_ratio=0` oracle: the per-roi sample count is
+    ceil(roi_extent / out) per axis (roi_align CUDA kernel semantics). This is
+    the exact configuration the reference trains with
+    (aitodv2_point_teacher_0%.py:70-74); our kernels fix sampling_ratio=2 to
+    keep shapes static."""
+    h, w, c = feat_hwc.shape
+
+    def bilin(y, x):
+        if y < -1.0 or y > h or x < -1.0 or x > w:
+            return np.zeros(c, feat_hwc.dtype)
+        x = min(max(x, 0.0), w - 1.0)
+        y = min(max(y, 0.0), h - 1.0)
+        x0, y0 = int(np.floor(x)), int(np.floor(y))
+        x1, y1 = min(x0 + 1, w - 1), min(y0 + 1, h - 1)
+        lx, ly = x - x0, y - y0
+        return (
+            feat_hwc[y0, x0] * (1 - ly) * (1 - lx)
+            + feat_hwc[y0, x1] * (1 - ly) * lx
+            + feat_hwc[y1, x0] * ly * (1 - lx)
+            + feat_hwc[y1, x1] * ly * lx
+        )
+
+    outs = np.zeros((len(rois), out, out, c), feat_hwc.dtype)
+    for n, (x1, y1, x2, y2) in enumerate(rois):
+        rw = max((x2 - x1) * scale, 1e-6)
+        rh = max((y2 - y1) * scale, 1e-6)
+        bw, bh = rw / out, rh / out
+        sx_n = max(int(np.ceil(rw / out)), 1)
+        sy_n = max(int(np.ceil(rh / out)), 1)
+        for i in range(out):
+            for j in range(out):
+                acc = np.zeros(c, feat_hwc.dtype)
+                for ky in range(sy_n):
+                    for kx in range(sx_n):
+                        sy = y1 * scale + (i + (ky + 0.5) / sy_n) * bh - 0.5
+                        sx = x1 * scale + (j + (kx + 0.5) / sx_n) * bw - 0.5
+                        acc += bilin(sy, sx)
+                outs[n, i, j] = acc / (sy_n * sx_n)
+    return outs
+
+
+def test_roi_align_adaptive_matches_mmcv_oracle_exactly():
+    """sampling_ratio=0 (the mmcv default the reference trains with,
+    aitodv2_point_teacher_0%.py:70-74) must reproduce adaptive sampling
+    EXACTLY for every roi whose bins need <= ADAPTIVE_SMAX samples — i.e. all
+    AI-TOD/MIL-bag geometry (2..200 px at stride 8, bins up to 3.6 cells)."""
+    rng = np.random.RandomState(12)
+    feat = rng.randn(100, 100, 4).astype(np.float32)
+    cx = rng.uniform(30, 770, 64).astype(np.float32)
+    cy = rng.uniform(30, 770, 64).astype(np.float32)
+    wh = rng.uniform(2, 200, (2, 64)).astype(np.float32)
+    rois = np.stack([cx - wh[0] / 2, cy - wh[1] / 2,
+                     cx + wh[0] / 2, cy + wh[1] / 2], -1)
+    ref = _numpy_roi_align_adaptive(feat, rois)
+    ours = np.asarray(roi_align(jnp.array(feat), jnp.array(rois), sampling_ratio=0))
+    assert np.allclose(ours, ref, atol=1e-4), np.abs(ours - ref).max()
+    gat = np.asarray(
+        __import__("point_teacher_tpu.ops.roi_align", fromlist=["roi_align_gather"])
+        .roi_align_gather(jnp.array(feat), jnp.array(rois), sampling_ratio=0))
+    assert np.allclose(gat, ref, atol=1e-4), np.abs(gat - ref).max()
+
+
+def test_roi_align_adaptive_clamps_above_smax():
+    """RoIs beyond ADAPTIVE_SMAX bins/cell (>224 px at stride 8) clamp the
+    sample count at ADAPTIVE_SMAX; verify against the oracle with the same
+    clamp and bound the deviation vs true unclamped adaptive (denser sampling
+    of a smooth integrand — small)."""
+    from point_teacher_tpu.ops.roi_align import ADAPTIVE_SMAX
+
+    rng = np.random.RandomState(13)
+    feat = rng.randn(100, 100, 2).astype(np.float32)
+    rois = np.array([[40.0, 60.0, 440.0, 500.0], [0.0, 0.0, 780.0, 760.0]],
+                    dtype=np.float32)
+    ours = np.asarray(roi_align(jnp.array(feat), jnp.array(rois), sampling_ratio=0))
+
+    def oracle(clamped):
+        h, w, c = feat.shape
+        out = np.zeros((len(rois), 7, 7, c), np.float32)
+        for n, (x1, y1, x2, y2) in enumerate(rois):
+            rw, rh = (x2 - x1) / 8, (y2 - y1) / 8
+            bw, bh = rw / 7, rh / 7
+            sx_n, sy_n = int(np.ceil(bw)), int(np.ceil(bh))
+            if clamped:
+                sx_n, sy_n = min(sx_n, ADAPTIVE_SMAX), min(sy_n, ADAPTIVE_SMAX)
+            for i in range(7):
+                for j in range(7):
+                    acc = np.zeros(c, np.float32)
+                    for ky in range(sy_n):
+                        for kx in range(sx_n):
+                            sy = y1 / 8 + (i + (ky + 0.5) / sy_n) * bh - 0.5
+                            sx = x1 / 8 + (j + (kx + 0.5) / sx_n) * bw - 0.5
+                            y0, x0 = int(np.floor(min(max(sy, 0), h - 1))), int(np.floor(min(max(sx, 0), w - 1)))
+                            y0c, x0c = min(max(sy, 0), h - 1), min(max(sx, 0), w - 1)
+                            y1i, x1i = min(y0 + 1, h - 1), min(x0 + 1, w - 1)
+                            ly, lx = y0c - y0, x0c - x0
+                            acc += (feat[y0, x0] * (1 - ly) * (1 - lx) + feat[y0, x1i] * (1 - ly) * lx
+                                    + feat[y1i, x0] * ly * (1 - lx) + feat[y1i, x1i] * ly * lx)
+                    out[n, i, j] = acc / (sy_n * sx_n)
+        return out
+
+    assert np.allclose(ours, oracle(clamped=True), atol=1e-4)
+    diff = np.abs(ours - oracle(clamped=False))
+    assert diff.max() < 0.5, diff.max()  # sampling-density difference only
+
+
 def test_roi_align_chunked_equals_unchunked():
     rng = np.random.RandomState(1)
     feat = jnp.array(rng.randn(20, 20, 8).astype(np.float32))
@@ -78,8 +184,9 @@ def test_roi_align_rotated_zero_angle_matches_axis_aligned():
     # centered box, zero angle
     rrois = jnp.array([[80.0, 80.0, 64.0, 48.0, 0.0]])
     rois = jnp.array([[80.0 - 32, 80.0 - 24, 80.0 + 32, 80.0 + 24]])
+    # rotated kernels fix sample_num=2 (reference parity); compare like-for-like
     a = roi_align_rotated(feat, rrois)
-    b = roi_align(feat, rois)
+    b = roi_align(feat, rois, sampling_ratio=2)
     assert np.allclose(a, b, atol=1e-4)
 
 
