@@ -79,6 +79,11 @@ def main():
         jax.config.update("jax_platforms", "cpu")
     if args.cpu_devices:
         jax.config.update("jax_num_cpu_devices", args.cpu_devices)
+    # persistent compile cache: the full train step is a multi-minute compile
+    _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..", ".jax_cache")
+    os.makedirs(_cache, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 5.0)
     import jax.numpy as jnp
 
     from point_teacher_tpu.config_io import apply_overrides, load_config
