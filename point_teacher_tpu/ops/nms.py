@@ -31,9 +31,10 @@ def _greedy_suppress(iou: Array, order_scores: Array, iou_thr: float,
     every still-undecided box that no higher-priority undecided/kept box
     overlaps becomes kept, and everything a newly-kept box overlaps dies.
     This equals sequential greedy once the suppression-chain depth is reached
-    (a handful of rounds in practice); leftovers after `iters` rounds are
-    dropped (conservative). Each round is pure [N, N] matrix work — no
-    sequential while-loop overhead on TPU.
+    (a handful of rounds in practice); a (normally zero-trip) while loop
+    finishes any chain deeper than `iters`, so the result is ALWAYS exact.
+    Each round is pure [N, N] matrix work — no sequential while-loop overhead
+    on TPU for the common case.
     """
     n = iou.shape[0]
     if iters is not None:
@@ -59,6 +60,9 @@ def _greedy_suppress(iou: Array, order_scores: Array, iou_thr: float,
         carry = (jnp.ones(n, dtype=bool), jnp.zeros(n, dtype=bool))
         for _ in range(iters):
             carry = round_fn(carry)
+        # exactness guard: each round decides >= 1 box while any is alive, so
+        # this loop is zero-trip unless a suppression chain exceeds `iters`
+        carry = jax.lax.while_loop(lambda c: c[0].any(), round_fn, carry)
         return carry[1]
 
     order = jnp.argsort(-order_scores, stable=True)

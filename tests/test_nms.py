@@ -93,3 +93,27 @@ def test_parallel_greedy_rotated_matches_sequential():
     seq = np.asarray(N.nms_rotated(jnp.array(rb), jnp.array(scores), 0.1, iters=None))
     par = np.asarray(N.nms_rotated(jnp.array(rb), jnp.array(scores), 0.1, iters=32))
     assert (seq == par).all()
+
+
+def test_parallel_nms_deep_suppression_chain_is_exact():
+    """A 200-box chain (box i only overlaps box i+1, scores descending) has
+    suppression depth 100 > the 64 unrolled rounds; the while-loop guard must
+    finish it so no box is silently dropped (keeps the even-indexed boxes)."""
+    import jax.numpy as jnp
+    import numpy as np
+
+    from point_teacher_tpu.ops.nms import nms
+
+    n = 200
+    x = np.arange(n, dtype=np.float32) * 4.0  # width 10, stride 4: adjacent
+    # IoU 6/14 ~= 0.43 > thr, next-adjacent 2/18 ~= 0.11 < thr (pure chain)
+    boxes = np.stack([x, np.zeros(n, np.float32),
+                      x + 10.0, np.full(n, 10.0, np.float32)], -1)
+    scores = np.linspace(1.0, 0.5, n).astype(np.float32)
+    keep_par = np.asarray(nms(jnp.asarray(boxes), jnp.asarray(scores), 0.3,
+                              iters=64))
+    keep_seq = np.asarray(nms(jnp.asarray(boxes), jnp.asarray(scores), 0.3,
+                              iters=None))
+    assert keep_par.sum() == n // 2
+    np.testing.assert_array_equal(keep_par, keep_seq)
+    assert keep_par[::2].all() and not keep_par[1::2].any()
