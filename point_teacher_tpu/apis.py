@@ -15,13 +15,16 @@ class Detector:
     """Bundles model/params/inference fn behind a simple callable API."""
 
     def __init__(self, model, params, infer_fn, classes, img_size: int,
-                 rotated: bool = False):
+                 rotated: bool = False, test_cfg=None):
         self.model = model
         self.params = params
         self.infer_fn = infer_fn
         self.CLASSES = classes
         self.img_size = img_size
         self.rotated = rotated
+        self._test_cfg = test_cfg  # InferenceCfg, used by the TTA path
+        self._tta_key = None
+        self._tta_fn = None
 
 
 def init_detector(config_path: str, checkpoint: Optional[str] = None,
@@ -68,7 +71,65 @@ def init_detector(config_path: str, checkpoint: Optional[str] = None,
         classes = (SODAADataset.CLASSES if rotated else AITODDataset.CLASSES)
     except Exception:
         classes = tuple(str(i) for i in range(pt.num_classes))
-    return Detector(model, params, infer, classes, pt.img_size, rotated)
+    return Detector(model, params, infer, classes, pt.img_size, rotated,
+                    test_cfg=pt.test)
+
+
+def inference_detector_tta(
+    detector: Detector,
+    img: Union[str, np.ndarray],
+    scales=None,
+    flip: bool = True,
+) -> List[np.ndarray]:
+    """Multi-scale + flip test-time augmentation (the MultiScaleFlipAug
+    analog: each scale is resized keep-ratio, optionally an extra
+    horizontally-flipped copy is added, every view's top-k detections are
+    mapped back and merged by one NMS).
+
+    Capability target: aug_test (fcos_p2b_teacher_student.py:300-329) with
+    the MultiScaleFlipAug pipeline (mmdet/datasets/pipelines/test_time_aug.py).
+    `scales`: iterable of square canvas sizes; defaults to the detector's
+    train/test size.
+    """
+    import jax.numpy as jnp
+
+    from .data.pipeline import load_image, pad_to_canvas, resize_keep_ratio
+
+    if detector.rotated:
+        raise NotImplementedError(
+            "TTA covers the HBB path (the reference's rotated configs run "
+            "single-scale, flip=False)")
+    if isinstance(img, str):
+        img = load_image(img)
+    img = np.asarray(img, np.float32)
+    scales = tuple(int(s) for s in (scales or (detector.img_size,)))
+
+    views = []
+    for s in scales:
+        resized, scale = resize_keep_ratio(img, (s, s))
+        nh, nw = resized.shape[:2]
+        for flipped in ((False, True) if flip else (False,)):
+            v = resized[:, ::-1] if flipped else resized
+            views.append({
+                "image": jnp.asarray(pad_to_canvas(np.ascontiguousarray(v), s)[None]),
+                "img_shape": jnp.asarray([[nh, nw]], jnp.float32),
+                "scale_factor": jnp.asarray(scale[None]),
+                "flipped": jnp.asarray([flipped]),
+            })
+
+    tta_key = (scales, flip)
+    if getattr(detector, "_tta_key", None) != tta_key:
+        from .inference import build_tta_inference_fn
+        detector._tta_fn = build_tta_inference_fn(
+            detector.model, detector._test_cfg, [v["image"].shape[1] for v in views])
+        detector._tta_key = tta_key
+
+    dets, labels, valid = detector._tta_fn(detector.params, views)
+    dets, labels, valid = np.asarray(dets[0]), np.asarray(labels[0]), np.asarray(valid[0])
+    dets = dets[valid]
+    labels = labels[valid]
+    num_classes = len(detector.CLASSES)
+    return [dets[labels == c].reshape(-1, 5) for c in range(num_classes)]
 
 
 def inference_detector(detector: Detector, img: Union[str, np.ndarray]) -> List[np.ndarray]:
@@ -82,11 +143,18 @@ def inference_detector(detector: Detector, img: Union[str, np.ndarray]) -> List[
         img = load_image(img)
     img = np.asarray(img, np.float32)
     img, scale = resize_keep_ratio(img, (detector.img_size, detector.img_size))
+    shape = np.asarray(img.shape[:2], np.float32)
     img = pad_to_canvas(img, detector.img_size)
 
-    dets, labels, valid = detector.infer_fn(
-        detector.params, jnp.asarray(img[None]), jnp.asarray(scale[None])
-    )
+    if detector.rotated:
+        dets, labels, valid = detector.infer_fn(
+            detector.params, jnp.asarray(img[None]), jnp.asarray(scale[None])
+        )
+    else:
+        dets, labels, valid = detector.infer_fn(
+            detector.params, jnp.asarray(img[None]), jnp.asarray(scale[None]),
+            jnp.asarray(shape[None]),
+        )
     dets, labels, valid = np.asarray(dets[0]), np.asarray(labels[0]), np.asarray(valid[0])
     dets = dets[valid]
     labels = labels[valid]

@@ -103,14 +103,17 @@ class EvalLoader:
         n = len(self.ds)
         for start in range(0, n, self.batch_size):
             idxs = list(range(start, min(start + self.batch_size, n)))
-            imgs, scales = [], []
+            imgs, scales, shapes = [], [], []
             for i in idxs:
-                img, _, scale = preprocess(self.ds.image_path(i), None, self.canvas,
-                                           img_norm=self.img_norm)
+                img, _, scale, shape = preprocess(
+                    self.ds.image_path(i), None, self.canvas,
+                    img_norm=self.img_norm, return_shape=True)
                 imgs.append(img)
                 scales.append(scale)
+                shapes.append(shape)
             # pad the tail batch to full size (masked by idx count)
             while len(imgs) < self.batch_size:
                 imgs.append(np.zeros_like(imgs[0]))
                 scales.append(np.ones(4, np.float32))
-            yield idxs, np.stack(imgs), np.stack(scales)
+                shapes.append(np.asarray([self.canvas, self.canvas], np.float32))
+            yield idxs, np.stack(imgs), np.stack(scales), np.stack(shapes)

@@ -47,8 +47,11 @@ def preprocess(
     boxes: np.ndarray,
     canvas: int = 800,
     img_norm=None,
+    return_shape: bool = False,
 ):
-    """-> (image [canvas,canvas,3], boxes scaled, scale_factor [4]).
+    """-> (image [canvas,canvas,3], boxes scaled, scale_factor [4]
+    [, img_shape [2] (nh, nw) — the resized pre-padding extent, the
+    reference's img_meta['img_shape'] used as the decode clamp]).
 
     img_norm: optional dict(mean, std) — identity (raw 0-255) for the AI-TOD
     configs, ImageNet stats for SODA-A (config img_norm_cfg). Images are
@@ -56,6 +59,7 @@ def preprocess(
     """
     img = load_image(path)
     img, scale = resize_keep_ratio(img, (canvas, canvas))
+    shape = np.asarray(img.shape[:2], np.float32)
     if img_norm is not None:
         mean = np.asarray(img_norm["mean"], np.float32)
         std = np.asarray(img_norm["std"], np.float32)
@@ -68,6 +72,8 @@ def preprocess(
             boxes[:, 2:4] *= scale[:2]
         else:
             boxes = boxes * scale[None]
+    if return_shape:
+        return img, boxes, scale, shape
     return img, boxes, scale
 
 

@@ -35,8 +35,9 @@ def shard_infer(infer, eval_params):
     eval_params = jax.device_put(eval_params, replicated(mesh))
     _infer = infer
 
-    def run(p, im, sf):
-        return _infer(p, jax.device_put(im, data_s), jax.device_put(sf, data_s))
+    def run(p, im, sf, *extra):
+        return _infer(p, jax.device_put(im, data_s), jax.device_put(sf, data_s),
+                      *[jax.device_put(e, data_s) for e in extra])
 
     return run, eval_params
 
@@ -113,7 +114,7 @@ def evaluate_detector(
         loader = EvalLoader(ds, pt.batch_size, pt.img_size,
                             img_norm=cfg["dataset"].get("img_norm"))
         patch_names, patch_dets = [], []
-        for idxs, imgs, scales in loader:
+        for idxs, imgs, scales, _shapes in loader:
             d, l, v = infer(eval_params, jnp.asarray(imgs), jnp.asarray(scales))
             d, l, v = np.asarray(d), np.asarray(l), np.asarray(v)
             for bi, i in enumerate(idxs):
@@ -168,8 +169,9 @@ def evaluate_detector(
         ds = AITODDataset(cfg["dataset"]["val_ann"], cfg["dataset"]["val_img_prefix"],
                           filter_empty=False)
         loader = EvalLoader(ds, pt.batch_size, pt.img_size)
-        for idxs, imgs, scales in loader:
-            d, l, v = infer(eval_params, jnp.asarray(imgs), jnp.asarray(scales))
+        for idxs, imgs, scales, shapes in loader:
+            d, l, v = infer(eval_params, jnp.asarray(imgs), jnp.asarray(scales),
+                            jnp.asarray(shapes))
             d, l, v = np.asarray(d), np.asarray(l), np.asarray(v)
             for bi, i in enumerate(idxs):
                 keep = v[bi]

@@ -33,7 +33,13 @@ def get_bboxes_single(
     scale_factor: Array,  # [4] (w,h,w,h) resize factor; boxes are divided by it
     cfg: InferenceCfg,
     rescale: bool = True,
+    img_shape: Array | None = None,  # [2] (nh, nw) resized unpadded shape
 ):
+    """The reference clamps decoded boxes to `img_shape` — the RESIZED,
+    pre-padding extent of this image (fcos_head_p2b_ts.py _get_bboxes
+    max_shape) — not the padded canvas. Pass `img_shape` for exact parity on
+    non-square images; when None the static canvas `img_hw` is used (exact
+    whenever the resized image fills the canvas)."""
     scores = jax.nn.sigmoid(cls_logits)
     ctr = jax.nn.sigmoid(centerness)
     p = scores.shape[0]
@@ -42,7 +48,15 @@ def get_bboxes_single(
     _, topk = jax.lax.top_k(max_scores, nms_pre)
     scores_k = scores[topk]
     ctr_k = ctr[topk]
-    boxes_k = distance2bbox(points[topk], bbox_pred[topk], max_shape=img_hw)
+    if img_shape is None:
+        boxes_k = distance2bbox(points[topk], bbox_pred[topk], max_shape=img_hw)
+    else:
+        boxes_k = distance2bbox(points[topk], bbox_pred[topk])
+        h = img_shape[0].astype(boxes_k.dtype)
+        w = img_shape[1].astype(boxes_k.dtype)
+        boxes_k = jnp.stack(
+            [jnp.clip(boxes_k[:, 0], 0, w), jnp.clip(boxes_k[:, 1], 0, h),
+             jnp.clip(boxes_k[:, 2], 0, w), jnp.clip(boxes_k[:, 3], 0, h)], -1)
     if rescale:
         boxes_k = boxes_k / scale_factor[None, :]
     return multiclass_nms(
@@ -93,6 +107,97 @@ def build_rotated_inference_fn(model, cfg: InferenceCfg, img_size: int, stride: 
     return infer
 
 
+def map_back_boxes(boxes: Array, img_shape: Array, scale_factor: Array,
+                   flipped: Array) -> Array:
+    """bbox_mapping_back: clamp to the view's resized shape, undo the
+    horizontal flip (MultiScaleFlipAug flips BEFORE Pad, so the flip axis is
+    the resized width), rescale to original-image coordinates.
+
+    Capability target: mmdet/core/bbox/transforms.py:46-55 (bbox_mapping_back)
+    + :5-31 (bbox_flip, horizontal).
+    boxes [K,4] xyxy (view pixels); img_shape [2] (nh,nw) resized unpadded;
+    scale_factor [4]; flipped scalar bool.
+    """
+    h = img_shape[0].astype(boxes.dtype)
+    w = img_shape[1].astype(boxes.dtype)
+    x1 = jnp.clip(boxes[:, 0], 0, w)
+    y1 = jnp.clip(boxes[:, 1], 0, h)
+    x2 = jnp.clip(boxes[:, 2], 0, w)
+    y2 = jnp.clip(boxes[:, 3], 0, h)
+    fx1 = jnp.where(flipped, w - x2, x1)
+    fx2 = jnp.where(flipped, w - x1, x2)
+    return jnp.stack([fx1, y1, fx2, y2], axis=-1) / scale_factor[None, :]
+
+
+def _build_raw_view_fn(model: StudentFCOS, cfg: InferenceCfg, canvas: int,
+                       stride: int = 8):
+    """One TTA view program: forward -> per-image top-k -> decode -> map back
+    to original-image coordinates. No NMS (the with_nms=False branch of
+    get_bboxes, dense_test_mixins.py:75-88)."""
+    points = grid_points(canvas // stride, canvas // stride, stride)
+
+    @jax.jit
+    def raw(params, images, img_shapes, scale_factors, flipped):
+        outs, _ = model.apply(params, images)
+        cls_score, bbox_pred, centerness = outs
+        b = cls_score.shape[0]
+        cls_f = cls_score.reshape(b, -1, cls_score.shape[-1])
+        bbox_f = bbox_pred.reshape(b, -1, 4)
+        ctr_f = centerness.reshape(b, -1)
+
+        def single(cl, bb, ct, shp, sf, fl):
+            scores = jax.nn.sigmoid(cl)
+            ctr = jax.nn.sigmoid(ct)
+            nms_pre = min(cfg.nms_pre, scores.shape[0])
+            max_scores = (scores * ctr[:, None]).max(-1)
+            _, topk = jax.lax.top_k(max_scores, nms_pre)
+            boxes = distance2bbox(points[topk], bb[topk])
+            boxes = map_back_boxes(boxes, shp, sf, fl)
+            return boxes, scores[topk], ctr[topk]
+
+        return jax.vmap(single)(cls_f, bbox_f, ctr_f, img_shapes,
+                                scale_factors, flipped)
+
+    return raw
+
+
+def build_tta_inference_fn(model: StudentFCOS, cfg: InferenceCfg,
+                           canvases, stride: int = 8):
+    """Test-time augmentation: multi-scale + flip views merged by one NMS.
+
+    Capability target: aug_test (fcos_p2b_teacher_student.py:300-329) +
+    aug_test_bboxes/merge_aug_bboxes (dense_test_mixins.py:38-199): each view
+    contributes its nms_pre top-k decoded boxes mapped back to original-image
+    coordinates; the union runs one multiclass NMS with merged centerness
+    score factors. `canvases` is the static tuple of view canvas sizes (one
+    per view; a flipped view repeats its size). Returns
+    infer(params, views) where views is a sequence of dicts with keys
+    image [B,c,c,3], img_shape [B,2], scale_factor [B,4], flipped [B].
+    """
+    raw_fns = {c: _build_raw_view_fn(model, cfg, c, stride)
+               for c in sorted(set(int(c) for c in canvases))}
+
+    def infer(params, views):
+        outs = [
+            raw_fns[int(v["image"].shape[1])](
+                params, v["image"], v["img_shape"], v["scale_factor"],
+                v["flipped"],
+            )
+            for v in views
+        ]
+        boxes = jnp.concatenate([o[0] for o in outs], axis=1)
+        scores = jnp.concatenate([o[1] for o in outs], axis=1)
+        ctr = jnp.concatenate([o[2] for o in outs], axis=1)
+        return jax.vmap(
+            lambda b, s, f: multiclass_nms(
+                b, s, cfg.score_thr, cfg.nms_iou, cfg.max_per_img,
+                score_factors=f,
+            )
+        )(boxes, scores, ctr)
+
+    return infer
+
+
 def build_inference_fn(model: StudentFCOS, cfg: InferenceCfg, img_size: int, stride: int = 8):
     """Returns jitted infer(params, images [B,H,W,3], scale_factors [B,4])
     -> (dets [B,N,5], labels [B,N], valid [B,N]). Run with the teacher params
@@ -101,15 +206,20 @@ def build_inference_fn(model: StudentFCOS, cfg: InferenceCfg, img_size: int, str
     hw = (img_size, img_size)
 
     @jax.jit
-    def infer(params, images, scale_factors):
+    def infer(params, images, scale_factors, img_shapes=None):
         outs, _ = model.apply(params, images)
         cls_score, bbox_pred, centerness = outs
         b = cls_score.shape[0]
         cls_f = cls_score.reshape(b, -1, cls_score.shape[-1])
         bbox_f = bbox_pred.reshape(b, -1, 4)
         ctr_f = centerness.reshape(b, -1)
+        if img_shapes is None:
+            return jax.vmap(
+                lambda c, bb, ct, sf: get_bboxes_single(c, bb, ct, points, hw, sf, cfg)
+            )(cls_f, bbox_f, ctr_f, scale_factors)
         return jax.vmap(
-            lambda c, bb, ct, sf: get_bboxes_single(c, bb, ct, points, hw, sf, cfg)
-        )(cls_f, bbox_f, ctr_f, scale_factors)
+            lambda c, bb, ct, sf, shp: get_bboxes_single(
+                c, bb, ct, points, hw, sf, cfg, img_shape=shp)
+        )(cls_f, bbox_f, ctr_f, scale_factors, img_shapes)
 
     return infer

@@ -91,8 +91,11 @@ def test_eval_loader_pads_tail(coco_fixture):
     loader = EvalLoader(ds, batch_size=3, canvas=128)
     chunks = list(loader)
     assert len(chunks) == 2
-    idxs, imgs, scales = chunks[-1]
+    idxs, imgs, scales, shapes = chunks[-1]
     assert len(idxs) == 1 and imgs.shape[0] == 3  # padded to full batch
+    assert shapes.shape == (3, 2)
+    # img_shape is the resized pre-padding extent: never exceeds the canvas
+    assert (shapes <= 128).all() and (shapes > 0).all()
 
 
 def test_resize_keep_ratio_upscale():
