@@ -147,6 +147,12 @@ def build_train_step(model: StudentFCOS, tx, cfg: PointTeacherConfig, donate: bo
     `donate=True` donates the input state's buffers (use in the training loop;
     leave off when the caller keeps references to the old state).
     """
+    step_fn = _make_step_fn(model, tx, cfg)
+    return jax.jit(step_fn, static_argnames=("phase1",),
+                   donate_argnums=(0,) if donate else ())
+
+
+def _make_step_fn(model: StudentFCOS, tx, cfg: PointTeacherConfig):
     cfg = cfg.normalized()
     points = grid_points(cfg.feat_size, cfg.feat_size, cfg.stride)
     hw = (cfg.img_size, cfg.img_size)
@@ -310,5 +316,24 @@ def build_train_step(model: StudentFCOS, tx, cfg: PointTeacherConfig, donate: bo
         )
         return new_state, metrics_out
 
-    return jax.jit(step_fn, static_argnames=("phase1",),
+    return step_fn
+
+
+def build_train_step_scan(model: StudentFCOS, tx, cfg: PointTeacherConfig,
+                          donate: bool = True):
+    """k sequential train steps in ONE compiled program (lax.scan over a
+    stacked batch pytree with leading axis k).
+
+    Semantically identical to k calls of build_train_step's function — the
+    scan chains the state carry exactly as the python loop would. The point
+    is dispatch amortisation: one host->device program launch per k steps
+    (the remote-tunnel round trip is ~30 ms, which at small batch sizes
+    otherwise dominates the step). Returns step(state, batches, phase1) ->
+    (state, metrics stacked [k])."""
+    inner = _make_step_fn(model, tx, cfg)
+
+    def multi(state: TrainState, batches: Batch, phase1: bool):
+        return jax.lax.scan(lambda s, b: inner(s, b, phase1), state, batches)
+
+    return jax.jit(multi, static_argnames=("phase1",),
                    donate_argnums=(0,) if donate else ())

@@ -110,6 +110,35 @@ def test_phase1_with_empty_image_is_finite(tiny):
     assert np.isfinite(float(metrics["total_loss"]))
 
 
+def test_scan_superstep_matches_sequential(tiny):
+    """build_train_step_scan(k=2) == two sequential build_train_step calls
+    (same state carry, same rng stream) — the dispatch-amortisation wrapper
+    must not change training semantics."""
+    from point_teacher_tpu.train.optim import make_optimizer
+    from point_teacher_tpu.train.steps import build_train_step_scan
+
+    cfg, model, state, step = tiny
+    tx = make_optimizer(state.params, cfg.optim)
+    scan_step = build_train_step_scan(model, tx, cfg, donate=False)
+
+    b0, b1 = _fake_batch(3), _fake_batch(4)
+    s1, m1 = step(state, b0, phase1=True)
+    s2, m2 = step(s1, b1, phase1=True)
+
+    stacked = jax.tree_util.tree_map(lambda a, b: jnp.stack([a, b]), b0, b1)
+    s2s, ms = scan_step(state, stacked, phase1=True)
+
+    np.testing.assert_allclose(float(ms["total_loss"][0]), float(m1["total_loss"]),
+                               rtol=2e-4, atol=1e-5)
+    np.testing.assert_allclose(float(ms["total_loss"][1]), float(m2["total_loss"]),
+                               rtol=2e-4, atol=1e-5)
+    for lr, ls in zip(jax.tree_util.tree_leaves(s2.params),
+                      jax.tree_util.tree_leaves(s2s.params)):
+        np.testing.assert_allclose(np.asarray(lr), np.asarray(ls),
+                                   rtol=2e-4, atol=1e-5)
+    assert int(s2s.step) == int(state.step) + 2
+
+
 def test_lamda_point_refinement_semantics():
     """lamda=1 keeps the original sampled points; lamda=0.5 blends pseudo
     centres in (update_points, fcos_p2b_teacher_student.py:266-274)."""
