@@ -32,6 +32,9 @@ def main():
     ap.add_argument("--quick", action="store_true", help="tiny shapes (CI smoke)")
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--batch", type=int, default=2)
+    ap.add_argument("--scan", type=int, default=1,
+                    help="train steps per dispatched program (lax.scan "
+                         "superstep; amortises the ~30ms tunnel round trip)")
     ap.add_argument("--phase2", action="store_true", help="bench phase-2 instead")
     ap.add_argument("--rotated", action="store_true",
                     help="bench the SODA-A rotated step (1200px) instead")
@@ -78,6 +81,10 @@ def main():
         from point_teacher_tpu.train.rsteps import build_rotated_train_step
 
         step = build_rotated_train_step(model, tx, cfg, donate=True)
+    elif args.scan > 1:
+        from point_teacher_tpu.train.steps import build_train_step_scan
+
+        step = build_train_step_scan(model, tx, cfg, donate=True)
     else:
         step = build_train_step(model, tx, cfg, donate=True)
 
@@ -99,7 +106,20 @@ def main():
     )
     phase1 = not args.phase2
 
-    # warmup/compile
+    if args.scan > 1 and not args.rotated:
+        # stack k copies with distinct image ids (the scan superstep runs k
+        # sequential real steps inside one dispatched program)
+        k = args.scan
+        batch = jax.tree_util.tree_map(
+            lambda x: jnp.broadcast_to(x[None], (k,) + x.shape).copy(), batch)
+        batch = batch._replace(
+            image_ids=(batch.image_ids
+                       + (jnp.arange(k, dtype=jnp.int32) * b)[:, None]))
+    else:
+        k = 1
+
+    # warmup/compile (float() forces a value fetch — on the tunnel backend
+    # block_until_ready alone can return early under concurrent processes)
     state, metrics = step(state, batch, phase1=phase1)
     jax.block_until_ready(metrics["total_loss"])
 
@@ -110,7 +130,7 @@ def main():
         jax.block_until_ready(metrics["total_loss"])
         times.append(time.perf_counter() - t0)
     med = float(np.median(times))
-    imgs_per_sec = args.batch / med
+    imgs_per_sec = args.batch * k / med
 
     baseline_imgs_per_sec = 4.0  # see module docstring
     metric = ("train_imgs_per_sec_per_chip_rotated_1200px" if args.rotated

@@ -139,15 +139,29 @@ def roi_align_matmul(
     bin_w = jnp.maximum(x2 - x1, 1e-6) / out_size
     bin_h = jnp.maximum(y2 - y1, 1e-6) / out_size
 
-    wy = _axis_weights(y1, bin_h, out_size, h, sampling_ratio, feat.dtype)  # [N, out, H]
-    wx = _axis_weights(x1, bin_w, out_size, w, sampling_ratio, feat.dtype)  # [N, out, W]
+    # Hat weights are built in f32 (sample-coordinate math), then the big
+    # einsums run in the FEATURE dtype with f32 accumulation: for the bf16
+    # training features this is the native MXU mode (4x the f32 rate) and
+    # loses only the bf16 rounding of the weights — the pooled output is cast
+    # to bf16 for the MIL towers immediately anyway. f32 features (tests,
+    # oracle comparisons) keep exact f32 end to end.
+    wy = _axis_weights(y1, bin_h, out_size, h, sampling_ratio, jnp.float32)  # [N, out, H]
+    wx = _axis_weights(x1, bin_w, out_size, w, sampling_ratio, jnp.float32)  # [N, out, W]
+    wy = wy.astype(feat.dtype)
+    wx = wx.astype(feat.dtype)
 
-    feat_c = feat.astype(jnp.float32)
+    feat_c = feat
+
+    # The [chunk, out, W, C] intermediate dominates HBM traffic (the einsums
+    # are bandwidth- not FLOP-bound at this geometry): keep it in the feature
+    # dtype. bf16 features: bf16 intermediate (MXU still accumulates each dot
+    # in f32 before rounding); f32 features (tests/oracle): exact f32 chain.
+    inter_t = jnp.float32 if feat.dtype == jnp.float32 else feat.dtype
 
     def one_chunk(args):
         wy_c, wx_c = args
         tmp = jnp.einsum("nih,hwc->niwc", wy_c, feat_c,
-                         preferred_element_type=jnp.float32)
+                         preferred_element_type=inter_t)
         return jnp.einsum("njw,niwc->nijc", wx_c, tmp,
                           preferred_element_type=jnp.float32)
 

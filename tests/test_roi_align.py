@@ -1,3 +1,4 @@
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -241,6 +242,24 @@ def test_roi_align_rotated_matmul_matches_gather():
     b = roi_align_rotated_matmul(feat, jnp.array(rr), sampling_ratio=2, window=32)
     assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-3), \
         np.abs(np.asarray(a) - np.asarray(b)).max()
+
+
+def test_roi_align_matmul_bf16_close_to_f32():
+    """The training path pools bf16 features: the bf16 matmul chain (weights
+    and the [N,out,W,C] intermediate rounded to bf16, f32 MXU accumulation)
+    must stay within bf16 noise of the exact f32 pooling."""
+    rng = np.random.RandomState(11)
+    feat = rng.randn(32, 32, 8).astype(np.float32)
+    rois = np.stack([
+        rng.uniform(0, 180, 64), rng.uniform(0, 180, 64),
+        rng.uniform(60, 250, 64), rng.uniform(60, 250, 64),
+    ], -1).astype(np.float32)
+    rois[:, 2:] = np.maximum(rois[:, 2:], rois[:, :2] + 6)
+    exact = np.asarray(roi_align(jnp.asarray(feat), jnp.asarray(rois)))
+    half = np.asarray(roi_align(jnp.asarray(feat, jnp.bfloat16),
+                                jnp.asarray(rois))).astype(np.float32)
+    scale = np.abs(exact).max()
+    assert np.abs(half - exact).max() / scale < 0.01  # bf16 input rounding
 
 
 def test_roi_align_rotated_matmul_chunked():

@@ -63,6 +63,16 @@ def main():
     ap.add_argument("--lr", type=float, default=0.01)
     ap.add_argument("--trainer", default="fcos", choices=["fcos", "point_teacher"])
     ap.add_argument("--frozen-stages", type=int, default=1)
+    # TS-loop stability knobs (collapse-mode sweeps)
+    ap.add_argument("--ema-alpha", type=float, default=0.9,
+                    help="teacher EMA (harness default 0.9; reference 0.999)")
+    ap.add_argument("--filter-score", type=float, default=0.0)
+    ap.add_argument("--lamda", type=float, default=1.0)
+    ap.add_argument("--burn-in-frac", type=float, default=0.7,
+                    help="burn_in_step = frac * steps")
+    ap.add_argument("--eval-interval", type=int, default=0,
+                    help="evaluate teacher/student AP every N steps (AP "
+                         "trajectory for collapse diagnosis)")
     args = ap.parse_args()
     import jax
 
@@ -82,10 +92,12 @@ def main():
 
     cfg = PointTeacherConfig(
         num_classes=args.classes, img_size=args.img, max_gt=args.gt,
-        batch_size=args.batch, burn_in_step=int(args.steps * 0.7),
+        batch_size=args.batch, burn_in_step=int(args.steps * args.burn_in_frac),
         # harness scale: a fast-tracking teacher (the reference's 0.999 needs
         # tens of thousands of steps to transfer student progress)
-        ema_alpha=0.9,
+        ema_alpha=args.ema_alpha,
+        filter_score=args.filter_score,
+        lamda=args.lamda,
         num_training_burninstep1=args.gt, num_training_burninstep2=args.gt,
         fine_proposal_cfg=(FineProposalCfg(base_ratios=(1.0,), min_scale=0.0,
                                            gen_num_neg=16),),
@@ -157,6 +169,13 @@ def main():
             print(f"step {i}: total={float(metrics['total_loss']):.3f} "
                   f"cls={float(metrics['loss_cls']):.3f} "
                   f"bbox={float(metrics['loss_bbox']):.3f}" + extra, flush=True)
+        if args.eval_interval and i and i % args.eval_interval == 0:
+            s_ap = evaluate(state.params)
+            t_ap = (evaluate(state.teacher_params)
+                    if args.trainer != "fcos" else s_ap)
+            phase = "burn-in" if i <= cfg.burn_in_step else "phase-2"
+            print(f"eval step {i} ({phase}): student AP={s_ap:.4f} "
+                  f"teacher AP={t_ap:.4f}", flush=True)
 
     student_ap = evaluate(state.params)
     print(f"AP@0.25 after {args.steps} steps (student): {student_ap:.4f}")
