@@ -262,6 +262,41 @@ def test_roi_align_matmul_bf16_close_to_f32():
     assert np.abs(half - exact).max() / scale < 0.01  # bf16 input rounding
 
 
+def test_roi_align_window_matches_fullmap():
+    """Windowed MXU RoIAlign == full-map matmul form for every roi whose
+    sample support fits the window (all of AI-TOD's MIL geometry)."""
+    from point_teacher_tpu.ops.roi_align import roi_align_window_matmul
+
+    rng = np.random.RandomState(12)
+    feat = jnp.asarray(rng.randn(100, 100, 8).astype(np.float32))
+    x1 = rng.uniform(0, 600, 300).astype(np.float32)
+    y1 = rng.uniform(0, 600, 300).astype(np.float32)
+    wpx = rng.uniform(4, 200, 300).astype(np.float32)
+    hpx = rng.uniform(4, 200, 300).astype(np.float32)
+    rois = jnp.asarray(np.stack([x1, y1, x1 + wpx, y1 + hpx], -1))
+    full = np.asarray(roi_align(feat, rois))
+    win = np.asarray(roi_align_window_matmul(feat, rois, chunk=128, window=32))
+    np.testing.assert_allclose(win, full, rtol=1e-4, atol=1e-4)
+
+
+def test_roi_align_window_chunked_and_grad():
+    from point_teacher_tpu.ops.roi_align import roi_align_window_matmul
+
+    rng = np.random.RandomState(13)
+    feat = jnp.asarray(rng.randn(64, 64, 4).astype(np.float32))
+    x1 = rng.uniform(0, 300, 50).astype(np.float32)
+    y1 = rng.uniform(0, 300, 50).astype(np.float32)
+    rois = jnp.asarray(np.stack([x1, y1, x1 + 40, y1 + 60], -1))
+    a = roi_align_window_matmul(feat, rois, chunk=16, window=32)
+    b = roi_align_window_matmul(feat, rois, chunk=64, window=32)
+    np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-5)
+    # feat gradient matches the full-map form's (same linear map)
+    g_win = jax.grad(lambda f: roi_align_window_matmul(f, rois, window=32).sum())(feat)
+    g_full = jax.grad(lambda f: roi_align(f, rois).sum())(feat)
+    np.testing.assert_allclose(np.asarray(g_win), np.asarray(g_full),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_roi_align_rotated_matmul_chunked():
     from point_teacher_tpu.ops.roi_align import roi_align_rotated_matmul
 
