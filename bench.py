@@ -8,6 +8,14 @@ derivation") derives ~2 imgs/s for the reference from its per-image FLOP count
 and from mmdetection's published FCOS iteration-time anchor; vs_baseline is
 reported against a deliberately generous 4.0 imgs/s (2x cushion in the
 reference's favor), so vs_baseline is a lower bound on the true speedup.
+
+Operating point: per-chip throughput is measured at batch 8 with an 8-step
+lax.scan superstep (one dispatched program per 8 optimizer steps — see
+build_train_step_scan; semantics identical to 8 sequential steps, pinned by
+tests/test_train_step.py). B=8 is the measured per-chip optimum (B=2: 12.2,
+B=8: 20.2, B=16: 19.3 imgs/s); the per-GPU batch 2 of the reference is a
+memory limit, not a throughput choice, so the per-chip comparison uses each
+side's best batch.
 """
 import argparse
 import json
@@ -30,15 +38,24 @@ import numpy as np
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true", help="tiny shapes (CI smoke)")
-    ap.add_argument("--steps", type=int, default=12)
-    ap.add_argument("--batch", type=int, default=2)
-    ap.add_argument("--scan", type=int, default=1,
+    ap.add_argument("--steps", type=int, default=8)
+    ap.add_argument("--batch", type=int, default=None,
+                    help="per-chip batch (default: 8 full bench, 2 quick/rotated "
+                         "— B=8 is the measured best per-chip operating point; "
+                         "B=16 regresses, see NOTES_r2.md)")
+    ap.add_argument("--scan", type=int, default=None,
                     help="train steps per dispatched program (lax.scan "
-                         "superstep; amortises the ~30ms tunnel round trip)")
+                         "superstep; amortises the ~30ms tunnel round trip). "
+                         "Default 8 for the full bench, 1 for quick/rotated.")
     ap.add_argument("--phase2", action="store_true", help="bench phase-2 instead")
     ap.add_argument("--rotated", action="store_true",
                     help="bench the SODA-A rotated step (1200px) instead")
     args = ap.parse_args()
+    small = args.quick or args.rotated
+    if args.batch is None:
+        args.batch = 2 if small else 8
+    if args.scan is None:
+        args.scan = 1 if small else 8
 
     from point_teacher_tpu.core.proposals import FineProposalCfg
     from point_teacher_tpu.train.config import PointTeacherConfig, config_sodaa
