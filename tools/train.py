@@ -37,6 +37,11 @@ def parse_args():
     ap.add_argument("--val-interval", type=int, default=0, metavar="EPOCHS",
                     help="run val evaluation every N epochs and track the best "
                          "mAP checkpoint (EvalHook analog; 0 = off)")
+    ap.add_argument("--steps-per-dispatch", type=int, default=1, metavar="K",
+                    help="run K train steps per dispatched program "
+                         "(lax.scan superstep — amortises host->device launch "
+                         "latency; semantics identical to K sequential steps). "
+                         "HBB point-teacher trainer only.")
     return ap.parse_args()
 
 
@@ -176,6 +181,12 @@ def main():
         step_fn = build_rotated_train_step(model, tx, pt, donate=False)
     else:
         step_fn = build_train_step(model, tx, pt, donate=False)
+    scan_k = max(1, args.steps_per_dispatch)
+    scan_step_fn = None
+    if scan_k > 1 and trainer not in ("fcos", "rfla_fcos") and not rotated:
+        from point_teacher_tpu.train.steps import build_train_step_scan
+
+        scan_step_fn = build_train_step_scan(model, tx, pt, donate=False)
     schedule = make_lr_schedule(pt.optim)
     logger = TrainLogger(work_dir, interval=50)
 
@@ -221,16 +232,48 @@ def main():
     start_epoch = step // iters_per_epoch
     stop = False
     for epoch in range(start_epoch, pt.optim.max_epochs):
-        for batch in batches_fn(pt.batch_size):
+        pending = []  # batches grouped for the scan superstep
+
+        def run_pending(state, step):
+            nonlocal stop
+            if not pending:
+                return state, step
             phase1 = step <= pt.burn_in_step
-            state, metrics = step_fn(state, shard(batch), phase1=phase1)
-            step += 1
-            logger.step(step, epoch + 1,
-                        {k: float(v) for k, v in metrics.items()},
-                        lr=float(schedule(step)))
-            if args.max_steps and step >= args.max_steps:
-                stop = True
+            if scan_step_fn is not None and len(pending) > 1:
+                stacked = jax.tree_util.tree_map(
+                    lambda *xs: jnp.stack(xs), *pending)
+                state, ms = scan_step_fn(state, shard(stacked), phase1=phase1)
+                metric_list = [
+                    {k: float(v[i]) for k, v in ms.items()}
+                    for i in range(len(pending))
+                ]
+            else:
+                metric_list = []
+                for bt in pending:
+                    state, m = step_fn(state, shard(bt), phase1=phase1)
+                    metric_list.append({k: float(v) for k, v in m.items()})
+            for m in metric_list:
+                step += 1
+                logger.step(step, epoch + 1, m, lr=float(schedule(step)))
+                if args.max_steps and step >= args.max_steps:
+                    stop = True
+            pending.clear()
+            return state, step
+
+        for batch in batches_fn(pt.batch_size):
+            pending.append(batch)
+            next_step = step + len(pending)
+            # flush when the group is full, at the phase boundary (phase1 is
+            # static per compiled program), or at max-steps
+            boundary = (next_step == pt.burn_in_step + 1)
+            full = len(pending) >= scan_k
+            hit_max = args.max_steps and next_step >= args.max_steps
+            if full or boundary or hit_max:
+                state, step = run_pending(state, step)
+            if stop:
                 break
+        if not stop:
+            state, step = run_pending(state, step)
         if args.val_interval and ((epoch + 1) % args.val_interval == 0 or stop):
             run_validation(state, epoch + 1, step)
         if (epoch + 1) % args.ckpt_interval == 0 or stop:
