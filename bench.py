@@ -152,6 +152,7 @@ def main():
     baseline_imgs_per_sec = 4.0  # see module docstring
     metric = ("train_imgs_per_sec_per_chip_rotated_1200px" if args.rotated
               else "train_imgs_per_sec_quick" if args.quick
+              else "train_imgs_per_sec_per_chip_phase2_800px" if args.phase2
               else "train_imgs_per_sec_per_chip_phase1_800px")
     print(json.dumps({
         "metric": metric,
