@@ -93,7 +93,7 @@ def inference_detector_tta(
     """
     import jax.numpy as jnp
 
-    from .data.pipeline import load_image, pad_to_canvas, resize_keep_ratio
+    from .data.pipeline import load_image, make_tta_views
 
     if detector.rotated:
         raise NotImplementedError(
@@ -104,18 +104,10 @@ def inference_detector_tta(
     img = np.asarray(img, np.float32)
     scales = tuple(int(s) for s in (scales or (detector.img_size,)))
 
-    views = []
-    for s in scales:
-        resized, scale = resize_keep_ratio(img, (s, s))
-        nh, nw = resized.shape[:2]
-        for flipped in ((False, True) if flip else (False,)):
-            v = resized[:, ::-1] if flipped else resized
-            views.append({
-                "image": jnp.asarray(pad_to_canvas(np.ascontiguousarray(v), s)[None]),
-                "img_shape": jnp.asarray([[nh, nw]], jnp.float32),
-                "scale_factor": jnp.asarray(scale[None]),
-                "flipped": jnp.asarray([flipped]),
-            })
+    views = [
+        {k: jnp.asarray(v) for k, v in view.items()}
+        for view in make_tta_views(img, scales, flip)
+    ]
 
     tta_key = (scales, flip)
     if getattr(detector, "_tta_key", None) != tta_key:

@@ -77,6 +77,33 @@ def preprocess(
     return img, boxes, scale
 
 
+def make_tta_views(img: np.ndarray, scales, flip: bool, img_norm=None):
+    """MultiScaleFlipAug analog: one entry per (scale, flip) view with the
+    arrays build_tta_inference_fn expects (numpy, single image).
+
+    Capability target: mmdet/datasets/pipelines/test_time_aug.py — Resize to
+    each scale, optional horizontal flip BEFORE padding, Normalize, Pad.
+    """
+    views = []
+    for s in scales:
+        s = int(s)
+        resized, scale = resize_keep_ratio(img, (s, s))
+        nh, nw = resized.shape[:2]
+        if img_norm is not None:
+            mean = np.asarray(img_norm["mean"], np.float32)
+            std = np.asarray(img_norm["std"], np.float32)
+            resized = (resized - mean) / std
+        for flipped in ((False, True) if flip else (False,)):
+            v = resized[:, ::-1] if flipped else resized
+            views.append({
+                "image": pad_to_canvas(np.ascontiguousarray(v), s)[None],
+                "img_shape": np.asarray([[nh, nw]], np.float32),
+                "scale_factor": scale[None],
+                "flipped": np.asarray([flipped]),
+            })
+    return views
+
+
 def pad_gts(boxes: np.ndarray, labels: np.ndarray, max_gt: int):
     dim = boxes.shape[-1] if len(boxes) else 4
     g = min(len(boxes), max_gt)

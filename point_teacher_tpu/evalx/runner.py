@@ -79,10 +79,15 @@ def evaluate_detector(
     out: Optional[str] = None,
     show_dir: Optional[str] = None,
     quiet: bool = False,
+    tta: Optional[Dict] = None,
 ) -> Tuple[float, Dict[str, float]]:
     """Run val-set inference + metrics. Returns (headline mAP, stats dict).
     show_dir writes annotated detection images (the --show-dir of
-    HBB_TOD/tools/test.py:47-49)."""
+    HBB_TOD/tools/test.py:47-49).
+
+    tta: dict(model=..., scales=(800, ...), flip=bool) switches the HBB path
+    to multi-scale+flip aug_test (per-image views merged by one NMS —
+    dense_test_mixins.py aug_test_bboxes); `infer` is ignored then."""
     import os
 
     import jax.numpy as jnp
@@ -138,6 +143,51 @@ def evaluate_detector(
             print("\nper-class AP:")
             for cls, ap in stats.get("per_class", {}).items():
                 print(f"{cls:>24s}: {ap:.4f}")
+        return float(stats.get("mAP", 0.0)), stats
+
+    if tta is not None and not rotated:
+        from ..data.pipeline import make_tta_views
+        from ..inference import build_tta_inference_fn
+
+        scales = tuple(int(s) for s in tta["scales"])
+        flip = bool(tta.get("flip", True))
+        n_views = len(scales) * (2 if flip else 1)
+        canvases = [s for s in scales for _ in range(2 if flip else 1)]
+        tta_fn = build_tta_inference_fn(tta["model"], pt.test, canvases)
+        norm = cfg.get("dataset", {}).get("img_norm")
+
+        def infer_one(img_np):
+            views = [
+                {k: jnp.asarray(v) for k, v in view.items()}
+                for view in make_tta_views(img_np, scales, flip, img_norm=norm)
+            ]
+            assert len(views) == n_views
+            d, l, v = tta_fn(eval_params, views)
+            d, l, v = np.asarray(d[0]), np.asarray(l[0]), np.asarray(v[0])
+            return d[v, :4], d[v, 4], l[v]
+
+        dets_per_img = []
+        if synthetic_n:
+            batches, gt = synthetic_val_set(pt, synthetic_n, rotated)
+            imgs_iter = (img[b] for img in batches for b in range(img.shape[0]))
+        else:
+            from ..data import AITODDataset
+            from ..data.pipeline import load_image
+
+            ds = AITODDataset(cfg["dataset"]["val_ann"],
+                              cfg["dataset"]["val_img_prefix"], filter_empty=False)
+            gt = ds.coco_gt()
+            imgs_iter = (load_image(ds.image_path(i)) for i in range(len(ds)))
+        for img_np in imgs_iter:
+            dets_per_img.append(infer_one(np.asarray(img_np, np.float32)))
+
+        ev = COCOStyleEval(gt, dets_per_img)
+        stats = ev.evaluate()
+        if not quiet:
+            print(f"\n--- AI-TOD COCO-style metrics (IoU 0.25), TTA "
+                  f"scales={list(scales)} flip={flip} ---")
+            for k, v in stats.items():
+                print(f"{k:>24s}: {v:.4f}")
         return float(stats.get("mAP", 0.0)), stats
 
     dets_per_img = []

@@ -32,6 +32,11 @@ def parse_args():
     ap.add_argument("--student", action="store_true",
                     help="evaluate the student instead of the teacher")
     ap.add_argument("--out", help="write detections (npz)")
+    ap.add_argument("--tta-scales", default=None, metavar="S1,S2",
+                    help="comma-separated square canvas sizes for multi-scale "
+                         "TTA (aug_test analog; HBB only)")
+    ap.add_argument("--tta-no-flip", action="store_true",
+                    help="disable the horizontal-flip views in TTA")
     ap.add_argument("--show-dir", help="write annotated detection images "
                                        "(reference tools/test.py --show-dir)")
     return ap.parse_args()
@@ -102,9 +107,16 @@ def main():
         infer, eval_params = shard_infer(infer, eval_params)
         print(f"eval sharded over {jax.device_count()} devices")
 
+    tta = None
+    if args.tta_scales:
+        if rotated:
+            raise SystemExit("--tta-scales covers the HBB path only")
+        tta = dict(model=model,
+                   scales=[int(s) for s in args.tta_scales.split(",")],
+                   flip=not args.tta_no_flip)
     evaluate_detector(infer, eval_params, pt, cfg, rotated=rotated,
                       synthetic_n=args.synthetic_data, out=args.out,
-                      show_dir=args.show_dir)
+                      show_dir=args.show_dir, tta=tta)
 
 
 if __name__ == "__main__":
