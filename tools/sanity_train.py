@@ -73,6 +73,10 @@ def main():
     ap.add_argument("--eval-interval", type=int, default=0,
                     help="evaluate teacher/student AP every N steps (AP "
                          "trajectory for collapse diagnosis)")
+    ap.add_argument("--assert-no-collapse", action="store_true",
+                    help="exit nonzero if the final teacher AP drops below "
+                         "half its post-burn-in peak (the TS self-distillation "
+                         "collapse regression; needs --eval-interval)")
     args = ap.parse_args()
     import jax
 
@@ -151,6 +155,7 @@ def main():
     n_data_batches = 16
     dataset = [make_visible_batch(r, args.batch, args.img, args.gt, args.classes)
                for _ in range(n_data_batches)]
+    peak_phase2_ap = -1.0
     for i in range(args.steps):
         bi = i % n_data_batches
         img, boxes, labels = dataset[bi]
@@ -176,6 +181,8 @@ def main():
             phase = "burn-in" if i <= cfg.burn_in_step else "phase-2"
             print(f"eval step {i} ({phase}): student AP={s_ap:.4f} "
                   f"teacher AP={t_ap:.4f}", flush=True)
+            if i > cfg.burn_in_step:
+                peak_phase2_ap = max(peak_phase2_ap, t_ap)
 
     student_ap = evaluate(state.params)
     print(f"AP@0.25 after {args.steps} steps (student): {student_ap:.4f}")
@@ -184,6 +191,13 @@ def main():
         print(f"AP@0.25 after {args.steps} steps (teacher): {teacher_ap:.4f}")
     ok = student_ap > ap0 + 0.02
     print("LEARNING:", "OK" if ok else "NOT IMPROVING")
+    if args.assert_no_collapse and args.trainer != "fcos":
+        final_t = teacher_ap
+        collapsed = peak_phase2_ap > 0.05 and final_t < 0.5 * peak_phase2_ap
+        print(f"COLLAPSE CHECK: peak phase-2 teacher AP={peak_phase2_ap:.4f}, "
+              f"final={final_t:.4f} -> {'COLLAPSED' if collapsed else 'STABLE'}")
+        if collapsed:
+            return 2
     return 0 if ok else 1
 
 
