@@ -1,16 +1,24 @@
 """Closed-loop learning check: train on fabricated images with VISIBLE
 objects (bright class-coded rectangles on noise) and verify AP rises.
 
-Status notes (2026-08-16): the box-supervised trainer reaches AP@.25 = 0.97
-in 800 from-scratch steps at 256px on TPU with --frozen-stages 0 (a frozen
-RANDOM stem blocks from-scratch learning; real configs freeze a PRETRAINED
-stem). The full teacher-student loop (--trainer point_teacher) reaches
-student AP@.25 = 0.37 / teacher 0.32 in 1500 steps at 256px from points only. The full teacher-student loop improves its pseudo
-boxes during/after burn-in (coarse IoU 0 -> 0.42 within 600 steps) but can
-collapse in long phase-2 stretches at this toy scale — self-distillation
-without pretrained grounding is fragile; the reference setting relies on
-ImageNet-pretrained weights (port via utils/torch_port.py) and a burn-in that
-is ~7%% of training, not the majority.
+Status notes (2026-08-17, r2): the box-supervised trainer reaches AP@.25 =
+0.97 in 800 from-scratch steps at 256px on TPU with --frozen-stages 0 (a
+frozen RANDOM stem blocks from-scratch learning; real configs freeze a
+PRETRAINED stem). The full teacher-student loop (--trainer point_teacher,
+3000 steps / 256px / burn-in 600, from scratch, points only) reaches
+**teacher AP@.25 = 0.94-1.0 and holds it through 2400 phase-2 steps** with
+ema_alpha=0.99. The round-1 "phase-2 collapse" is RESOLVED: it was the
+harness's fast teacher EMA (0.9 ~ a 10-step horizon) — after the phase
+switch the bbox supervision flips from synthetic boxes to teacher pseudo
+boxes, the student transient corrupts a fast-tracking teacher, and the
+pseudo-box feedback spirals (AP 0.86 -> 0.01 by step 1500, self-recovering
+to 0.53 by 3000). With ema 0.99 the transient is low-pass-filtered and the
+loop is stable even from scratch; the reference's 0.999 (+pretrained
+backbone, burn-in ~7%% of training) sits further inside the stable region.
+Regression gate:
+  python tools/sanity_train.py --trainer point_teacher --steps 3000 \
+    --img 256 --frozen-stages 0 --burn-in-frac 0.2 --eval-interval 300 \
+    --assert-no-collapse
 
 Validates the whole learning stack — model, targets, losses, optimizer,
 teacher EMA, inference, evaluator — without any dataset on disk. Run:
@@ -64,8 +72,12 @@ def main():
     ap.add_argument("--trainer", default="fcos", choices=["fcos", "point_teacher"])
     ap.add_argument("--frozen-stages", type=int, default=1)
     # TS-loop stability knobs (collapse-mode sweeps)
-    ap.add_argument("--ema-alpha", type=float, default=0.9,
-                    help="teacher EMA (harness default 0.9; reference 0.999)")
+    ap.add_argument("--ema-alpha", type=float, default=0.99,
+                    help="teacher EMA. 0.99 default: the r2 sweep showed "
+                         "0.9 collapses after the phase switch (teacher "
+                         "tracks the noisy student too fast -> pseudo-box "
+                         "spiral, AP 0.86->0.01->recovers 0.53) while 0.99 "
+                         "is stable at AP~1.0; reference uses 0.999")
     ap.add_argument("--filter-score", type=float, default=0.0)
     ap.add_argument("--lamda", type=float, default=1.0)
     ap.add_argument("--burn-in-frac", type=float, default=0.7,
