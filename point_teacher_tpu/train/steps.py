@@ -215,7 +215,13 @@ def _make_step_fn(model: StudentFCOS, tx, cfg: PointTeacherConfig):
                     pseudo_points=refined_pts,
                     pseudo_boxes=refined_full,
                     # all real GT slots carry a pseudo box (unmatched slots get
-                    # the default 8x8 point box, as in _gnerate_pseudo_single)
+                    # the default 8x8 point box, as in _gnerate_pseudo_single).
+                    # ps["pseudo_valid"] (the filter_score gate) is
+                    # deliberately NOT consumed: the reference discards
+                    # valid_inds at both get_pseudo_bbox call sites
+                    # (fcos_p2b_teacher_student.py:176,218 `..., _, _ =`) and
+                    # never calls filter_pseudo_bbox (:358) — filter_score is
+                    # dead code there (configs set 0.0), verified in r2.
                     pseudo_valid=batch.gt_valid,
                 ),
             )
