@@ -94,7 +94,11 @@ def main():
     )
     tx = make_optimizer(params, cfg.optim)
     state = create_train_state(params, tx, num_images=1024, max_gt=cfg.max_gt, rng=rng)
-    if args.rotated:
+    if args.rotated and args.scan > 1:
+        from point_teacher_tpu.train.rsteps import build_rotated_train_step_scan
+
+        step = build_rotated_train_step_scan(model, tx, cfg, donate=True)
+    elif args.rotated:
         from point_teacher_tpu.train.rsteps import build_rotated_train_step
 
         step = build_rotated_train_step(model, tx, cfg, donate=True)
@@ -123,7 +127,7 @@ def main():
     )
     phase1 = not args.phase2
 
-    if args.scan > 1 and not args.rotated:
+    if args.scan > 1:
         # stack k copies with distinct image ids (the scan superstep runs k
         # sequential real steps inside one dispatched program)
         k = args.scan

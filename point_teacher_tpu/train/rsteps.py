@@ -88,6 +88,28 @@ def _run_rmil_stages(model, params, mil_feat, rboxes, labels, valid, real_rboxes
 
 def build_rotated_train_step(model: StudentRotatedFCOS, tx, cfg: PointTeacherConfig,
                              rdense: RDenseLossCfg = None, donate: bool = False):
+    step_fn = _make_rotated_step_fn(model, tx, cfg, rdense)
+    return jax.jit(step_fn, static_argnames=("phase1",),
+                   donate_argnums=(0,) if donate else ())
+
+
+def build_rotated_train_step_scan(model: StudentRotatedFCOS, tx,
+                                  cfg: PointTeacherConfig,
+                                  rdense: RDenseLossCfg = None,
+                                  donate: bool = True):
+    """k rotated steps per dispatched program (see steps.build_train_step_scan
+    — same dispatch-amortisation rationale, identical per-step semantics)."""
+    inner = _make_rotated_step_fn(model, tx, cfg, rdense)
+
+    def multi(state: TrainState, batches: Batch, phase1: bool):
+        return jax.lax.scan(lambda s, b: inner(s, b, phase1), state, batches)
+
+    return jax.jit(multi, static_argnames=("phase1",),
+                   donate_argnums=(0,) if donate else ())
+
+
+def _make_rotated_step_fn(model: StudentRotatedFCOS, tx, cfg: PointTeacherConfig,
+                          rdense: RDenseLossCfg = None):
     if rdense is None:
         rdense = RDenseLossCfg(num_classes=cfg.num_classes)
     points = grid_points(cfg.feat_size, cfg.feat_size, cfg.stride)
@@ -259,5 +281,4 @@ def build_rotated_train_step(model: StudentRotatedFCOS, tx, cfg: PointTeacherCon
         )
         return new_state, metrics_out
 
-    return jax.jit(step_fn, static_argnames=("phase1",),
-                   donate_argnums=(0,) if donate else ())
+    return step_fn
