@@ -51,11 +51,10 @@ def main():
     ap.add_argument("--rotated", action="store_true",
                     help="bench the SODA-A rotated step (1200px) instead")
     args = ap.parse_args()
-    small = args.quick or args.rotated
     if args.batch is None:
-        args.batch = 2 if small else 8
+        args.batch = 2 if args.quick else 4 if args.rotated else 8
     if args.scan is None:
-        args.scan = 1 if small else 8
+        args.scan = 1 if args.quick else 4 if args.rotated else 8
 
     from point_teacher_tpu.core.proposals import FineProposalCfg
     from point_teacher_tpu.train.config import PointTeacherConfig, config_sodaa
