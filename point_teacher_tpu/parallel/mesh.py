@@ -45,6 +45,13 @@ def shard_batch(batch: Batch, mesh: Mesh, axis: str = "data") -> Batch:
     return jax.tree_util.tree_map(jax.device_put, batch, shardings)
 
 
+def shard_stacked_batch(batch: Batch, mesh: Mesh, axis: str = "data") -> Batch:
+    """Shard a [K, B, ...]-stacked superstep batch: axis 0 is the scan/step
+    axis (replicated), axis 1 is the per-step batch axis (split on `axis`)."""
+    s = NamedSharding(mesh, P(None, axis))
+    return jax.tree_util.tree_map(lambda x: jax.device_put(x, s), batch)
+
+
 def replicate_state(state, mesh: Mesh):
     rep = replicated(mesh)
     return jax.tree_util.tree_map(lambda x: jax.device_put(x, rep), state)

@@ -28,6 +28,23 @@ Array = jnp.ndarray
 
 def build_fcos_train_step(model: StudentFCOS, tx, cfg: PointTeacherConfig,
                           donate: bool = False):
+    step_fn = _make_fcos_step_fn(model, tx, cfg)
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def build_fcos_train_step_scan(model: StudentFCOS, tx, cfg: PointTeacherConfig,
+                               donate: bool = True):
+    """k baseline steps per dispatched program (see steps.build_train_step_scan
+    for the dispatch-amortisation rationale; identical per-step semantics)."""
+    inner = _make_fcos_step_fn(model, tx, cfg)
+
+    def multi(state: TrainState, batches: Batch):
+        return jax.lax.scan(inner, state, batches)
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
+def _make_fcos_step_fn(model: StudentFCOS, tx, cfg: PointTeacherConfig):
     cfg = cfg.normalized()
     points = grid_points(cfg.feat_size, cfg.feat_size, cfg.stride)
     assigner = cfg.dense.syn_assigner
@@ -87,4 +104,4 @@ def build_fcos_train_step(model: StudentFCOS, tx, cfg: PointTeacherConfig,
         )
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return step_fn

@@ -28,6 +28,25 @@ Array = jnp.ndarray
 def build_rfla_train_step(model: RFLAFCOS, tx, cfg: PointTeacherConfig,
                           assigner: HieAssignerCfg = HieAssignerCfg(),
                           donate: bool = False):
+    step_fn = _make_rfla_step_fn(model, tx, cfg, assigner)
+    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+
+
+def build_rfla_train_step_scan(model: RFLAFCOS, tx, cfg: PointTeacherConfig,
+                               assigner: HieAssignerCfg = HieAssignerCfg(),
+                               donate: bool = True):
+    """k baseline steps per dispatched program (see steps.build_train_step_scan
+    for the dispatch-amortisation rationale; identical per-step semantics)."""
+    inner = _make_rfla_step_fn(model, tx, cfg, assigner)
+
+    def multi(state: TrainState, batches: Batch):
+        return jax.lax.scan(inner, state, batches)
+
+    return jax.jit(multi, donate_argnums=(0,) if donate else ())
+
+
+def _make_rfla_step_fn(model: RFLAFCOS, tx, cfg: PointTeacherConfig,
+                       assigner: HieAssignerCfg):
     points, rfields, _, _ = level_points_and_rfields(cfg.img_size, model.strides)
 
     def step_fn(state: TrainState, batch: Batch):
@@ -78,4 +97,4 @@ def build_rfla_train_step(model: RFLAFCOS, tx, cfg: PointTeacherConfig,
         )
         return new_state, metrics
 
-    return jax.jit(step_fn, donate_argnums=(0,) if donate else ())
+    return step_fn

@@ -112,3 +112,72 @@ def test_sharded_train_step_matches_single_device():
         np.testing.assert_allclose(np.asarray(s_ref.refined_points),
                                    np.asarray(s_dp.refined_points),
                                    rtol=1e-4, atol=1e-4)
+
+
+def test_scan_superstep_shards_batch_axis_not_step_axis():
+    """Superstep + DP: the [K, B, ...]-stacked pytree must shard axis 1 (the
+    batch) with P(None, 'data'), not axis 0 (the scan axis) — and a group
+    length K NOT divisible by the device count must still run. Equivalence
+    oracle: K sequential single-device steps (round-2 advisor finding)."""
+    from point_teacher_tpu.core.proposals import FineProposalCfg
+    from point_teacher_tpu.models.detector import StudentFCOS
+    from point_teacher_tpu.parallel.mesh import shard_stacked_batch
+    from point_teacher_tpu.train.config import PointTeacherConfig
+    from point_teacher_tpu.train.optim import make_optimizer
+    from point_teacher_tpu.train.state import create_train_state
+    from point_teacher_tpu.train.steps import build_train_step, build_train_step_scan
+
+    K, B, IMG, G = 3, 8, 64, 4  # K=3 is NOT divisible by the 8-device mesh
+    cfg = PointTeacherConfig(
+        num_classes=4, img_size=IMG, max_gt=G, batch_size=B,
+        num_training_burninstep1=G, num_training_burninstep2=G,
+        fine_proposal_cfg=(
+            FineProposalCfg(base_ratios=(1.0,), shake_ratio=None, min_scale=0.0,
+                            gen_num_neg=8),
+        ),
+        fine_proposal_extensive_cfg=(
+            FineProposalCfg(base_ratios=(1.0, 1.2), shake_ratio=None, min_scale=4.0),
+        ),
+    )
+    model = StudentFCOS(num_classes=cfg.num_classes, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, IMG, IMG, 3)),
+                        jnp.zeros((2, 7, 7, 256)), method=StudentFCOS.init_all)
+    tx = make_optimizer(params, cfg.optim)
+    state = create_train_state(params, tx, num_images=32, max_gt=G, rng=rng)
+
+    rs = np.random.RandomState(11)
+    batches = []
+    for k in range(K):
+        cxy = rs.uniform(10, IMG - 10, (B, G, 2)).astype(np.float32)
+        wh = rs.uniform(4, 12, (B, G, 2)).astype(np.float32)
+        batches.append(Batch(
+            image=rs.randint(0, 255, (B, IMG, IMG, 3)).astype(np.float32),
+            gt_boxes=np.concatenate([cxy - wh / 2, cxy + wh / 2], -1),
+            gt_labels=rs.randint(0, 4, (B, G)).astype(np.int32),
+            gt_valid=np.ones((B, G), bool),
+            image_ids=(np.arange(B, dtype=np.int32) + k * B),
+        ))
+
+    single = build_train_step(model, tx, cfg)
+    s_ref = state
+    metrics_ref = []
+    for b in batches:
+        s_ref, m = single(s_ref, jax.tree_util.tree_map(jnp.asarray, b), True)
+        metrics_ref.append(m)
+
+    mesh = make_mesh()
+    scan = build_train_step_scan(model, tx, cfg, donate=False)
+    stacked = jax.tree_util.tree_map(lambda *xs: jnp.stack(xs), *batches)
+    state_rep = replicate_state(state, mesh)
+    s_dp, ms = scan(state_rep, shard_stacked_batch(stacked, mesh), phase1=True)
+
+    for k in sorted(metrics_ref[0]):
+        for i in range(K):
+            a, b = float(metrics_ref[i][k]), float(ms[k][i])
+            assert np.isfinite(b), (k, i, b)
+            assert np.allclose(a, b, rtol=2e-3, atol=2e-4), (k, i, a, b)
+    for lr, ld in zip(jax.tree_util.tree_leaves(s_ref.params),
+                      jax.tree_util.tree_leaves(s_dp.params)):
+        np.testing.assert_allclose(np.asarray(lr), np.asarray(ld),
+                                   rtol=2e-3, atol=2e-4)

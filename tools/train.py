@@ -41,7 +41,7 @@ def parse_args():
                     help="run K train steps per dispatched program "
                          "(lax.scan superstep — amortises host->device launch "
                          "latency; semantics identical to K sequential steps). "
-                         "HBB point-teacher trainer only.")
+                         "Supported by all trainers.")
     return ap.parse_args()
 
 
@@ -183,23 +183,43 @@ def main():
         step_fn = build_train_step(model, tx, pt, donate=False)
     scan_k = max(1, args.steps_per_dispatch)
     scan_step_fn = None
-    if scan_k > 1 and trainer not in ("fcos", "rfla_fcos") and not rotated:
-        from point_teacher_tpu.train.steps import build_train_step_scan
+    if scan_k > 1:
+        if trainer == "fcos":
+            from point_teacher_tpu.train.fcos_baseline import build_fcos_train_step_scan
 
-        scan_step_fn = build_train_step_scan(model, tx, pt, donate=False)
+            fcos_scan = build_fcos_train_step_scan(model, tx, pt, donate=False)
+            scan_step_fn = lambda s, b, phase1: fcos_scan(s, b)  # noqa: E731
+        elif trainer == "rfla_fcos":
+            from point_teacher_tpu.train.rfla_baseline import build_rfla_train_step_scan
+
+            rfla_scan = build_rfla_train_step_scan(model, tx, pt, donate=False)
+            scan_step_fn = lambda s, b, phase1: rfla_scan(s, b)  # noqa: E731
+        elif rotated:
+            from point_teacher_tpu.train.rsteps import build_rotated_train_step_scan
+
+            scan_step_fn = build_rotated_train_step_scan(model, tx, pt, donate=False)
+        else:
+            from point_teacher_tpu.train.steps import build_train_step_scan
+
+            scan_step_fn = build_train_step_scan(model, tx, pt, donate=False)
     schedule = make_lr_schedule(pt.optim)
     logger = TrainLogger(work_dir, interval=50)
 
     # SPMD data parallelism over all visible chips (the dist_train.sh analog)
     if jax.device_count() > 1 and pt.batch_size % jax.device_count() == 0:
-        from point_teacher_tpu.parallel import make_mesh, replicate_state, shard_batch
+        from point_teacher_tpu.parallel import (
+            make_mesh, replicate_state, shard_batch, shard_stacked_batch)
 
         mesh = make_mesh()
         state = replicate_state(state, mesh)
         shard = lambda b: shard_batch(b, mesh)  # noqa: E731
+        # superstep batches are [K, B, ...]: axis 0 is the scan/step axis
+        # (replicated), axis 1 the batch axis (split on 'data')
+        shard_stacked = lambda b: shard_stacked_batch(b, mesh)  # noqa: E731
         print(f"data parallel over {jax.device_count()} devices")
     else:
         shard = lambda b: b  # noqa: E731
+        shard_stacked = lambda b: b  # noqa: E731
 
     # EvalHook analog (reference registers EvalHook(val_dataloader, interval=12)
     # at mmdet/apis/train.py:141-150): periodic val mAP + best-ckpt tracking.
@@ -208,11 +228,8 @@ def main():
     def run_validation(cur_state, epoch_no, cur_step):
         from point_teacher_tpu.evalx.runner import build_infer, evaluate_detector
 
-        if trainer == "rfla_fcos":
-            print("val-interval: rfla_fcos has no inference path yet, skipping")
-            return
         if val_state["infer"] is None:
-            val_state["infer"] = build_infer(model, pt, rotated)
+            val_state["infer"] = build_infer(model, pt, rotated, trainer=trainer)
         ap_, stats = evaluate_detector(
             val_state["infer"], cur_state.teacher_params, pt, cfg, rotated=rotated,
             synthetic_n=args.synthetic_data, quiet=True,
@@ -242,7 +259,7 @@ def main():
             if scan_step_fn is not None and len(pending) > 1:
                 stacked = jax.tree_util.tree_map(
                     lambda *xs: jnp.stack(xs), *pending)
-                state, ms = scan_step_fn(state, shard(stacked), phase1=phase1)
+                state, ms = scan_step_fn(state, shard_stacked(stacked), phase1=phase1)
                 metric_list = [
                     {k: float(v[i]) for k, v in ms.items()}
                     for i in range(len(pending))
