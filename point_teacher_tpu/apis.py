@@ -109,6 +109,13 @@ def inference_detector_tta(
         for view in make_tta_views(img, scales, flip)
     ]
 
+    if detector._test_cfg is None:
+        # Detector built directly without a test_cfg: fall back to defaults
+        # (init_detector always sets one from the config's pt.test)
+        from .train.config import InferenceCfg
+
+        detector._test_cfg = InferenceCfg()
+
     tta_key = (scales, flip)
     if getattr(detector, "_tta_key", None) != tta_key:
         from .inference import build_tta_inference_fn

@@ -13,7 +13,11 @@ from typing import Dict, Optional, Tuple
 import numpy as np
 
 
-def build_infer(model, pt, rotated: bool):
+def build_infer(model, pt, rotated: bool, trainer: str = "point_teacher"):
+    if trainer == "rfla_fcos":
+        from ..inference import build_rfla_inference_fn
+
+        return build_rfla_inference_fn(model, pt.test, pt.img_size)
     if rotated:
         from ..inference import build_rotated_inference_fn
 
@@ -96,13 +100,13 @@ def evaluate_detector(
 
     box_dim = 5 if rotated else 4
 
-    def draw(img_np, dets, scores, labels, name):
+    def draw(img_np, dets, scores, labels, name, denorm=True):
         if not show_dir:
             return
         from ..utils.visualize import imshow_det_bboxes, imshow_det_rbboxes
 
         norm = cfg.get("dataset", {}).get("img_norm")
-        if norm:  # de-normalize for a viewable image
+        if norm and denorm:  # de-normalize for a viewable image
             img_np = img_np * np.asarray(norm["std"]) + np.asarray(norm["mean"])
         fn = imshow_det_rbboxes if rotated else imshow_det_bboxes
         fn(img_np, dets, labels, scores, score_thr=0.3,
@@ -145,6 +149,8 @@ def evaluate_detector(
                 print(f"{cls:>24s}: {ap:.4f}")
         return float(stats.get("mAP", 0.0)), stats
 
+    header = "AI-TOD COCO-style metrics (IoU 0.25)"
+    dets_per_img = []
     if tta is not None and not rotated:
         from ..data.pipeline import make_tta_views
         from ..inference import build_tta_inference_fn
@@ -166,10 +172,10 @@ def evaluate_detector(
             d, l, v = np.asarray(d[0]), np.asarray(l[0]), np.asarray(v[0])
             return d[v, :4], d[v, 4], l[v]
 
-        dets_per_img = []
         if synthetic_n:
             batches, gt = synthetic_val_set(pt, synthetic_n, rotated)
             imgs_iter = (img[b] for img in batches for b in range(img.shape[0]))
+            names = [f"img{i}.jpg" for i in range(synthetic_n)]
         else:
             from ..data import AITODDataset
             from ..data.pipeline import load_image
@@ -178,20 +184,16 @@ def evaluate_detector(
                               cfg["dataset"]["val_img_prefix"], filter_empty=False)
             gt = ds.coco_gt()
             imgs_iter = (load_image(ds.image_path(i)) for i in range(len(ds)))
-        for img_np in imgs_iter:
-            dets_per_img.append(infer_one(np.asarray(img_np, np.float32)))
-
-        ev = COCOStyleEval(gt, dets_per_img)
-        stats = ev.evaluate()
-        if not quiet:
-            print(f"\n--- AI-TOD COCO-style metrics (IoU 0.25), TTA "
-                  f"scales={list(scales)} flip={flip} ---")
-            for k, v in stats.items():
-                print(f"{k:>24s}: {v:.4f}")
-        return float(stats.get("mAP", 0.0)), stats
-
-    dets_per_img = []
-    if synthetic_n:
+            names = [os.path.basename(ds.img_infos[i].get("file_name", f"img{i}.jpg"))
+                     for i in range(len(ds))]
+        for i_img, img_np in enumerate(imgs_iter):
+            img_np = np.asarray(img_np, np.float32)
+            d, s, l = infer_one(img_np)
+            dets_per_img.append((d, s, l))
+            # TTA views are normalized inside make_tta_views; img_np is raw
+            draw(img_np, d, s, l, names[i_img], denorm=False)
+        header += f", TTA scales={list(scales)} flip={flip}"
+    elif synthetic_n:
         batches, gt = synthetic_val_set(pt, synthetic_n, rotated)
         for img in batches:
             d, l, v = infer(eval_params, jnp.asarray(img),
@@ -218,7 +220,8 @@ def evaluate_detector(
 
         ds = AITODDataset(cfg["dataset"]["val_ann"], cfg["dataset"]["val_img_prefix"],
                           filter_empty=False)
-        loader = EvalLoader(ds, pt.batch_size, pt.img_size)
+        loader = EvalLoader(ds, pt.batch_size, pt.img_size,
+                            img_norm=cfg["dataset"].get("img_norm"))
         for idxs, imgs, scales, shapes in loader:
             d, l, v = infer(eval_params, jnp.asarray(imgs), jnp.asarray(scales),
                             jnp.asarray(shapes))
@@ -240,7 +243,7 @@ def evaluate_detector(
     ev = COCOStyleEval(gt, dets_per_img)
     stats = ev.evaluate()
     if not quiet:
-        print("\n--- AI-TOD COCO-style metrics (IoU 0.25) ---")
+        print(f"\n--- {header} ---")
         for k, v in stats.items():
             print(f"{k:>24s}: {v:.4f}")
         print("\nper-class AP:")
