@@ -112,12 +112,27 @@ def dn_diou_loss(
     hyper: float = 0.2,
     eps: float = 1e-6,
     loss_weight: float = 1.0,
+    base_valid=None,
 ) -> Array:
     """Denoising DIoU: min over a 3x3 bank of corner-perturbed targets, averaged
     with the base DIoU. Perturbation indexed by (i, j) in {-1,0,1}^2:
       x1 -= a*w*i ; y1 -= a*h*i ; x2 += a*w*j ; y2 += a*h*j,  a = hyper/2.
+
+    Reference quirk preserved (iou_loss.py:398-466): the base term is
+    `diou_loss(pred, targets)` through the @weighted_loss wrapper with its
+    DEFAULT 'mean' reduction — i.e. a SCALAR unweighted mean over every row
+    the reference passes, added to the per-element bank minimum. With padded
+    tensors, `base_valid` marks the rows the reference would have passed
+    (positives on the dense path, real-GT bag rows on the MIL path); rows
+    outside it contribute neither to the scalar base nor (via zero weight)
+    to the reduction. Defaults to all rows.
     """
-    base = _diou_elem(pred, target, eps)
+    base_elem = _diou_elem(pred, target, eps)
+    if base_valid is None:
+        base = base_elem.mean()
+    else:
+        m = base_valid.reshape(base_elem.shape).astype(base_elem.dtype)
+        base = (base_elem * m).sum() / jnp.maximum(m.sum(), 1.0)
     a = hyper / 2
     w = target[..., 2] - target[..., 0]
     h = target[..., 3] - target[..., 1]

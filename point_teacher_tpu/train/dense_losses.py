@@ -55,9 +55,12 @@ def _reg_and_centerness_loss(bbox_pred, centerness, points, labels, bbox_targets
     pts = jnp.broadcast_to(points[None], (b, p, 2))
     decoded_pred = distance2bbox(pts, bbox_pred)
     decoded_tgt = distance2bbox(pts, bbox_targets)
+    # base_valid: the reference gathers positives before the loss call
+    # (fcos_head_p2b_ts.py:441-457) — the DN scalar-mean base runs over them
     loss_bbox = loss_fn(
         decoded_pred.reshape(-1, 4), decoded_tgt.reshape(-1, 4),
         weight=ctr_targets.reshape(-1), avg_factor=denorm,
+        base_valid=pos.reshape(-1),
     )
     loss_ctr = binary_cross_entropy(
         centerness.reshape(-1), ctr_targets.reshape(-1),
@@ -80,7 +83,8 @@ def syn_branch_loss(
         lambda cl, gb, gv: syn_targets(points, cl, gb, gv, cfg.num_classes, cfg.syn_assigner)
     )(cls_logits, syn_boxes, syn_valid)
     return _reg_and_centerness_loss(
-        bbox_pred, centerness, points, labels, bbox_targets, cfg.num_classes, diou_loss
+        bbox_pred, centerness, points, labels, bbox_targets, cfg.num_classes,
+        lambda *a, base_valid=None, **kw: diou_loss(*a, **kw),
     )
 
 
@@ -112,9 +116,9 @@ def pseudo_branch_loss(
         alpha=cfg.focal_alpha, gamma=cfg.focal_gamma,
     )
 
-    def dn(pred, tgt, weight=None, avg_factor=None):
+    def dn(pred, tgt, weight=None, avg_factor=None, base_valid=None):
         return dn_diou_loss(pred, tgt, weight=weight, avg_factor=avg_factor,
-                            hyper=cfg.dn_hyper_burn2)
+                            hyper=cfg.dn_hyper_burn2, base_valid=base_valid)
 
     loss_bbox, loss_ctr = _reg_and_centerness_loss(
         bbox_pred, centerness, points, labels_reg, bbox_targets, cfg.num_classes, dn

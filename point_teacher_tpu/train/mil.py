@@ -114,8 +114,12 @@ def mil_stage_rotated(
     ref_hbb = cxcywh_to_xyxy(ext_ref[..., :4]).reshape(-1, 4)
     w_valid = ext_valid.astype(pred_hbb.dtype)
     avg = jnp.maximum((boxes_valid.sum() * u1 * u2).astype(pred_hbb.dtype), 1.0)
+    # base_valid: the reference passes only real-GT bag rows to the DN loss
+    # (mil_bag_extensive concatenates ragged per-image bags) — the scalar-mean
+    # base runs over them, including in-image-invalid (weight-0) members
     loss_mil_bbox = dn_diou_loss(
         pred_hbb, ref_hbb, weight=w_valid.reshape(-1), avg_factor=avg, hyper=dn_hyper,
+        base_valid=vmask4.reshape(-1),
     )
 
     pred_d = jax.lax.stop_gradient(pred_hbb)
@@ -258,9 +262,13 @@ def mil_stage(
 
     w_valid = ext_valid.astype(pred.dtype)
     avg = jnp.maximum((boxes_valid.sum() * u1 * u2).astype(pred.dtype), 1.0)
+    # base_valid: see mil_stage_rotated — reference DN base averages over
+    # every real-GT bag row, not just the weight-valid ones
     loss_mil_bbox = dn_diou_loss(
         pred.reshape(-1, 4), ext_ref.reshape(-1, 4), weight=w_valid.reshape(-1),
         avg_factor=avg, hyper=dn_hyper,
+        base_valid=jnp.broadcast_to(boxes_valid[:, :, None, None],
+                                    ext.shape[:-1]).reshape(-1),
     )
 
     pred_d = jax.lax.stop_gradient(pred)

@@ -1,0 +1,330 @@
+"""Load the reference's pure-PyTorch modules under stub mmdet/mmcv registries.
+
+The upstream Point-Teacher code (/root/reference, read-only) is two mmdet/
+mmrotate forks whose novel math is plain torch: assigners, match costs, DN
+losses, pseudo-box averaging, proposal/point generators. Those files import
+only registry decorators and tiny utilities from mmdet/mmcv — so they can be
+executed IN PLACE (no code copied into this repo) against minimal stub
+modules, giving the differential-parity tests a ground-truth oracle that is
+the reference's own computation rather than our restatement of it.
+
+Mechanism: the reference package tree is mounted as the private package
+`refhbb` whose sub-packages are pre-seeded EMPTY modules with `__path__`
+pointing into /root/reference — the real (world-importing) `__init__.py`
+files never run, while leaf modules load from disk through the normal import
+machinery. Absolute `mmdet.*` / `mmcv.*` / `torchvision` imports inside those
+files resolve to the stubs installed here.
+
+Everything degrades to pytest.skip when torch is unavailable.
+"""
+from __future__ import annotations
+
+import importlib
+import sys
+import types
+
+REF_HBB = "/root/reference/HBB_TOD/mmdet"
+REF_OBB = "/root/reference/OBB_TOD/mmrotate"
+
+_state = {}
+
+
+class _Registry:
+    """Minimal mmcv.utils.Registry: @R.register_module() decorator + get()."""
+
+    def __init__(self, name="registry"):
+        self.name = name
+        self._map = {}
+
+    def register_module(self, name=None, force=False, module=None):
+        def deco(cls):
+            key = name if isinstance(name, str) else cls.__name__
+            self._map[key] = cls
+            return cls
+
+        if module is not None:
+            return deco(module)
+        return deco
+
+    def get(self, key):
+        return self._map[key]
+
+
+def _build_from_cfg(cfg, registry, default_args=None):
+    args = dict(cfg)
+    t = args.pop("type")
+    if default_args:
+        for k, v in default_args.items():
+            args.setdefault(k, v)
+    cls = registry.get(t) if isinstance(t, str) else t
+    return cls(**args)
+
+
+def _mod(name, **attrs):
+    m = types.ModuleType(name)
+    for k, v in attrs.items():
+        setattr(m, k, v)
+    sys.modules[name] = m
+    # attach to parent so `import a.b; a.b.c` attribute access works
+    if "." in name:
+        parent, _, child = name.rpartition(".")
+        if parent in sys.modules:
+            setattr(sys.modules[parent], child, m)
+    return m
+
+
+def _pkg(name, path):
+    m = _mod(name)
+    m.__path__ = [path]
+    return m
+
+
+def _raise_stub(opname):
+    def fn(*a, **k):
+        raise RuntimeError(f"mmcv op stub called: {opname}")
+
+    return fn
+
+
+def setup():
+    """Install stubs + load the reference leaf modules. Returns a namespace of
+    the loaded reference modules. Idempotent."""
+    if _state:
+        return _state["ns"]
+
+    import torch
+    import torch.nn as nn
+
+    # ---------------- mmcv stubs ----------------
+    mmcv = _mod("mmcv", __version__="1.5.0")
+
+    def _jit(*a, **k):
+        if len(a) == 1 and callable(a[0]) and not k:
+            return a[0]
+        return lambda f: f
+
+    mmcv.jit = _jit
+    _mod("mmcv.utils", Registry=_Registry, build_from_cfg=_build_from_cfg)
+
+    class Scale(nn.Module):
+        def __init__(self, scale=1.0):
+            super().__init__()
+            self.scale = nn.Parameter(torch.tensor(scale, dtype=torch.float))
+
+        def forward(self, x):
+            return x * self.scale
+
+    class ConvModule(nn.Module):
+        """conv (+GN) (+ReLU) with mmcv's bias-iff-no-norm default."""
+
+        def __init__(self, in_ch, out_ch, k, stride=1, padding=0, dilation=1,
+                     groups=1, bias="auto", conv_cfg=None, norm_cfg=None,
+                     act_cfg=dict(type="ReLU"), **kw):
+            super().__init__()
+            use_norm = norm_cfg is not None
+            if bias == "auto":
+                bias = not use_norm
+            self.conv = nn.Conv2d(in_ch, out_ch, k, stride, padding, dilation,
+                                  groups, bias=bias)
+            self.gn = None
+            if use_norm and norm_cfg.get("type") == "GN":
+                self.gn = nn.GroupNorm(norm_cfg.get("num_groups", 32), out_ch)
+            self.act = nn.ReLU(inplace=False) if act_cfg else None
+
+        def forward(self, x):
+            x = self.conv(x)
+            if self.gn is not None:
+                x = self.gn(x)
+            if self.act is not None:
+                x = self.act(x)
+            return x
+
+    def normal_init(module, mean=0, std=1, bias=0):
+        nn.init.normal_(module.weight, mean, std)
+        if hasattr(module, "bias") and module.bias is not None:
+            nn.init.constant_(module.bias, bias)
+
+    def bias_init_with_prob(prior_prob):
+        import math
+
+        return float(-math.log((1 - prior_prob) / prior_prob))
+
+    _mod("mmcv.cnn", Scale=Scale, ConvModule=ConvModule,
+         normal_init=normal_init, bias_init_with_prob=bias_init_with_prob)
+
+    def _fp_deco(*a, **k):
+        if len(a) == 1 and callable(a[0]) and not k:
+            return a[0]
+        return lambda f: f
+
+    class BaseModule(nn.Module):
+        def __init__(self, init_cfg=None):
+            super().__init__()
+            self.init_cfg = init_cfg
+
+        def init_weights(self):
+            pass
+
+    _mod("mmcv.runner", force_fp32=_fp_deco, auto_fp16=_fp_deco,
+         BaseModule=BaseModule, OptimizerHook=object)
+    _mod("mmcv.ops", nms_rotated=_raise_stub("nms_rotated"),
+         nms=_raise_stub("nms"), batched_nms=_raise_stub("batched_nms"),
+         RoIAlign=_raise_stub("RoIAlign"),
+         sigmoid_focal_loss=_raise_stub("sigmoid_focal_loss"),
+         diff_iou_rotated_2d=None)
+
+    # ---------------- torchvision stub (not installed) ----------------
+    tv = _mod("torchvision")
+    tv_t = _mod("torchvision.transforms", ToTensor=object, ToPILImage=object,
+                Resize=object, Compose=object)
+    _mod("torchvision.transforms.functional")
+    tv.transforms = tv_t
+
+    # ---------------- mmdet stub skeleton ----------------
+    _mod("mmdet", __version__="2.24.0")
+    mmdet_core = _mod("mmdet.core")
+    _mod("mmdet.core.bbox")
+    mmdet_utils = _mod("mmdet.utils")
+    _mod("mmdet.models")
+    _mod("mmdet.models.losses")
+
+    # ---------------- reference package skeleton (refhbb.*) ----------------
+    _pkg("refhbb", REF_HBB)
+    core = _pkg("refhbb.core", REF_HBB + "/core")
+    _pkg("refhbb.core.bbox", REF_HBB + "/core/bbox")
+    _pkg("refhbb.core.bbox.assigners", REF_HBB + "/core/bbox/assigners")
+    _pkg("refhbb.core.bbox.match_costs", REF_HBB + "/core/bbox/match_costs")
+    _pkg("refhbb.core.bbox.iou_calculators", REF_HBB + "/core/bbox/iou_calculators")
+    _pkg("refhbb.core.bbox.coder", REF_HBB + "/core/bbox/coder")
+    _pkg("refhbb.models", REF_HBB + "/models")
+    _pkg("refhbb.models.losses", REF_HBB + "/models/losses")
+    _pkg("refhbb.models.dense_heads", REF_HBB + "/models/dense_heads")
+    _pkg("refhbb.models.detectors", REF_HBB + "/models/detectors")
+    _pkg("refhbb.utils", REF_HBB + "/utils")
+
+    _pkg("refhbb.models.necks", REF_HBB + "/models/necks")
+
+    # models/builder stub: registries used by the loss/head/neck decorators;
+    # build_roi_extractor returns a dummy (the dense forward never pools)
+    _mod("refhbb.models.builder", LOSSES=_Registry("losses"),
+         HEADS=_Registry("heads"), NECKS=_Registry("necks"),
+         build_loss=lambda cfg: _build_from_cfg(
+             cfg, sys.modules["refhbb.models.builder"].LOSSES),
+         build_roi_extractor=lambda cfg: types.SimpleNamespace(
+             num_inputs=1, cfg=cfg))
+
+    # ---------------- load pure-torch leaves, bridge the stubs ----------------
+    transforms = importlib.import_module("refhbb.core.bbox.transforms")
+    iou_builder = importlib.import_module("refhbb.core.bbox.iou_calculators.builder")
+    iou2d = importlib.import_module("refhbb.core.bbox.iou_calculators.iou2d_calculator")
+    iou_pkg = sys.modules["refhbb.core.bbox.iou_calculators"]
+    iou_pkg.build_iou_calculator = iou_builder.build_iou_calculator
+    iou_pkg.bbox_overlaps = iou2d.bbox_overlaps
+    iou_pkg.BboxOverlaps2D = iou2d.BboxOverlaps2D
+
+    # absolute-import bridges used by match_cost.py / iou_loss.py
+    sys.modules["mmdet.core.bbox.transforms"] = transforms
+    sys.modules["mmdet.core.bbox.iou_calculators"] = iou_pkg
+    mmdet_core.bbox.transforms = transforms
+    mmdet_core.bbox.iou_calculators = iou_pkg
+
+    mc_builder = importlib.import_module("refhbb.core.bbox.match_costs.builder")
+    match_cost = importlib.import_module("refhbb.core.bbox.match_costs.match_cost")
+    mc_pkg = sys.modules["refhbb.core.bbox.match_costs"]
+    mc_pkg.build_match_cost = mc_builder.build_match_cost
+
+    util_mixins = importlib.import_module("refhbb.utils.util_mixins")
+    mmdet_utils.util_mixins = util_mixins
+
+    importlib.import_module("refhbb.core.bbox.assigners.assign_result")
+    importlib.import_module("refhbb.core.bbox.assigners.base_assigner")
+    topk_assigner = importlib.import_module(
+        "refhbb.core.bbox.assigners.topk_assigner")
+    fuse_topk_assigner = importlib.import_module(
+        "refhbb.core.bbox.assigners.fuse_topk_assigner")
+
+    bbox_builder = importlib.import_module("refhbb.core.bbox.builder")
+    delta_coder = importlib.import_module(
+        "refhbb.core.bbox.coder.delta_xywh_bbox_coder")
+
+    # mmdet.core attrs used by iou_loss.py / fcos_head_p2b_ts.py
+    def multi_apply(func, *args, **kwargs):
+        from functools import partial
+
+        pfunc = partial(func, **kwargs) if kwargs else func
+        return tuple(map(list, zip(*map(pfunc, *args))))
+
+    mmdet_core.bbox_overlaps = iou2d.bbox_overlaps
+    mmdet_core.distance2bbox = transforms.distance2bbox
+    mmdet_core.bbox2roi = transforms.bbox2roi
+    mmdet_core.bbox_cxcywh_to_xyxy = transforms.bbox_cxcywh_to_xyxy
+    mmdet_core.bbox_xyxy_to_cxcywh = transforms.bbox_xyxy_to_cxcywh
+    mmdet_core.multi_apply = multi_apply
+    mmdet_core.reduce_mean = lambda t: t  # single process: identity
+    mmdet_core.bbox2distance = transforms.bbox2distance
+    mmdet_core.build_assigner = bbox_builder.build_assigner
+    mmdet_core.build_sampler = _raise_stub("build_sampler")
+    mmdet_core.build_bbox_coder = bbox_builder.build_bbox_coder
+    mmdet_core.multiclass_nms = _raise_stub("multiclass_nms")
+
+    # refhbb.core package attrs (fcos_head does `from ...core import ...`)
+    core.bbox_cxcywh_to_xyxy = transforms.bbox_cxcywh_to_xyxy
+    core.bbox_xyxy_to_cxcywh = transforms.bbox_xyxy_to_cxcywh
+
+    # losses (loading registers them into the stub LOSSES registry, which
+    # build_loss uses when the full head is instantiated)
+    losses_utils = importlib.import_module("refhbb.models.losses.utils")
+    sys.modules["mmdet.models.losses.utils"] = losses_utils
+    sys.modules["mmdet.models"].losses.utils = losses_utils
+    iou_loss = importlib.import_module("refhbb.models.losses.iou_loss")
+    ce_loss = importlib.import_module("refhbb.models.losses.cross_entropy_loss")
+    sys.modules["mmdet.models.losses.cross_entropy_loss"] = ce_loss
+    importlib.import_module("refhbb.models.losses.focal_loss")
+    importlib.import_module("refhbb.models.losses.smooth_l1_loss")
+
+    def build_linear_layer(cfg, *args, **kwargs):
+        return nn.Linear(*args, **kwargs)
+
+    _mod("mmdet.models.utils", build_linear_layer=build_linear_layer)
+
+    # detectors: generator + utility bank (pure torch + cv2/scipy/matplotlib)
+    data_augument_bank = importlib.import_module(
+        "refhbb.models.detectors.data_augument_bank")
+    syn_gen = importlib.import_module(
+        "refhbb.models.detectors.syn_images_generator_v2")
+
+    # dense head: load the REAL AnchorFreeHead base (its ConvModule towers are
+    # what the full-head instantiation parity test ports weights from)
+    _mod("mmdet.utils.contextmanagers", completed=None)
+    mmdet_core.bbox_mapping_back = transforms.bbox_mapping_back
+    mmdet_core.merge_aug_proposals = _raise_stub("merge_aug_proposals")
+    importlib.import_module("refhbb.models.dense_heads.base_dense_head")
+    importlib.import_module("refhbb.models.dense_heads.dense_test_mixins")
+    anchor_free = importlib.import_module(
+        "refhbb.models.dense_heads.anchor_free_head")
+    fcos_head = importlib.import_module(
+        "refhbb.models.dense_heads.fcos_head_p2b_ts")
+
+    # necks (FPN + PSAGG) for the weight-port forward-equivalence test
+    fpn = importlib.import_module("refhbb.models.necks.fpn")
+    ps_fpn = importlib.import_module("refhbb.models.necks.ps_fpn")
+
+    ns = types.SimpleNamespace(
+        transforms=transforms,
+        iou2d=iou2d,
+        match_cost=match_cost,
+        topk_assigner=topk_assigner,
+        fuse_topk_assigner=fuse_topk_assigner,
+        delta_coder=delta_coder,
+        iou_loss=iou_loss,
+        ce_loss=ce_loss,
+        losses_utils=losses_utils,
+        data_augument_bank=data_augument_bank,
+        syn_gen=syn_gen,
+        fcos_head=fcos_head,
+        anchor_free=anchor_free,
+        fpn=fpn,
+        ps_fpn=ps_fpn,
+    )
+    _state["ns"] = ns
+    return ns

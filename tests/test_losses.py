@@ -65,11 +65,11 @@ def test_dn_diou_matches_reference_formula():
             t[:, 2] += a * w * j
             t[:, 3] += a * h * j
             bank.append(np.asarray(L._diou_elem(jnp.array(pred), jnp.array(t), 1e-6)))
-    base = np.asarray(L._diou_elem(jnp.array(pred), jnp.array(tgt), 1e-6))
+    # the base term is the SCALAR mean over rows (the reference calls the
+    # @weighted_loss-decorated diou_loss with default 'mean' reduction inside
+    # DN_diou_loss — pinned differentially in test_reference_parity.py)
+    base = np.asarray(L._diou_elem(jnp.array(pred), jnp.array(tgt), 1e-6)).mean()
     expected = (base + np.min(np.stack(bank), axis=0)) / 2
-    ours = L.dn_diou_loss(jnp.array(pred), jnp.array(tgt), hyper=hyper, reduction="none") \
-        if False else None
-    # use weight/avg to get element-wise: reduction interface is mean/sum; compute via avg_factor trick
     ours_sum = float(L.dn_diou_loss(jnp.array(pred), jnp.array(tgt), avg_factor=1.0, hyper=hyper))
     assert np.isclose(ours_sum, expected.sum(), rtol=1e-4)
 
