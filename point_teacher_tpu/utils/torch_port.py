@@ -57,6 +57,128 @@ def torch_resnet50_to_flax(state_dict: Dict[str, Any]) -> Dict[str, Any]:
     return tree
 
 
+def _conv_w(sd, key):
+    """torch conv weight [O, I, kh, kw] -> flax kernel [kh, kw, I, O]."""
+    return _to_numpy(sd[key]).transpose(2, 3, 1, 0)
+
+
+def _linear_w(sd, key):
+    """torch linear weight [O, I] -> flax kernel [I, O]."""
+    return _to_numpy(sd[key]).T
+
+
+def _tower_fc0_w(sd, key, c=256, hw=7):
+    """First MIL-tower FC: torch flattens roi feats NCHW -> (C*H*W) while the
+    flax tower flattens NHWC -> (H*W*C); permute the input-dim layout."""
+    w = _to_numpy(sd[key])  # [O, C*H*W]
+    o = w.shape[0]
+    w = w.reshape(o, c, hw, hw).transpose(0, 2, 3, 1).reshape(o, hw * hw * c)
+    return w.T
+
+
+def torch_fpn_to_flax(sd: Dict[str, Any], n_lat: int = 3, n_extra: int = 2) -> Dict[str, Any]:
+    """Reference FPN keys (mmdet/models/necks/fpn.py: lateral_convs.i.conv,
+    fpn_convs.i.conv with the extra 'on_output' convs appended to fpn_convs)
+    -> our models/fpn.py tree (lateral{i}, fpn_conv{i}, extra_conv{i})."""
+    out = {}
+    for i in range(n_lat):
+        out[f"lateral{i}"] = {"kernel": _conv_w(sd, f"lateral_convs.{i}.conv.weight"),
+                              "bias": _to_numpy(sd[f"lateral_convs.{i}.conv.bias"])}
+        out[f"fpn_conv{i}"] = {"kernel": _conv_w(sd, f"fpn_convs.{i}.conv.weight"),
+                               "bias": _to_numpy(sd[f"fpn_convs.{i}.conv.bias"])}
+    for i in range(n_extra):
+        j = n_lat + i
+        out[f"extra_conv{i}"] = {"kernel": _conv_w(sd, f"fpn_convs.{j}.conv.weight"),
+                                 "bias": _to_numpy(sd[f"fpn_convs.{j}.conv.bias"])}
+    return out
+
+
+def torch_psagg_to_flax(sd: Dict[str, Any], n: int = 5) -> Dict[str, Any]:
+    """Reference PSAGG (necks/ps_fpn.py lateral_convs.i.conv 1x1) ->
+    models/psagg.py agg_conv{i}."""
+    return {
+        f"agg_conv{i}": {"kernel": _conv_w(sd, f"lateral_convs.{i}.conv.weight"),
+                         "bias": _to_numpy(sd[f"lateral_convs.{i}.conv.bias"])}
+        for i in range(n)
+    }
+
+
+def torch_fcos_head_to_flax(sd: Dict[str, Any], stacked: int = 4) -> Dict[str, Any]:
+    """TS_P2BFCOSHead dense towers (fcos_head_p2b_ts.py:189-211 +
+    anchor_free_head.py:96-140; shipped config norm_cfg=None, conv_bias=True)
+    -> models/fcos_head.py tree."""
+    out = {}
+    for i in range(stacked):
+        out[f"cls_conv{i}"] = {"kernel": _conv_w(sd, f"cls_convs.{i}.conv.weight"),
+                               "bias": _to_numpy(sd[f"cls_convs.{i}.conv.bias"])}
+        out[f"reg_conv{i}"] = {"kernel": _conv_w(sd, f"reg_convs.{i}.conv.weight"),
+                               "bias": _to_numpy(sd[f"reg_convs.{i}.conv.bias"])}
+    for name in ("conv_cls", "conv_reg", "conv_centerness"):
+        out[name] = {"kernel": _conv_w(sd, f"{name}.weight"),
+                     "bias": _to_numpy(sd[f"{name}.bias"])}
+    out["scale"] = _to_numpy(sd["scales.0.scale"])
+    return out
+
+
+def torch_mil_to_flax(sd: Dict[str, Any], num_stages: int = 1) -> Dict[str, Any]:
+    """MIL FC stacks (fcos_head_p2b_ts.py:212-263: shared_fcs_reg/bag per
+    stage + fc_reg/fc_cls/fc_ins) -> models/mil_head.py tree. fc_iou and
+    shared_fcs/shared_fcs_refine are dead on the shipped path and skipped."""
+    out = {}
+    for s in range(num_stages):
+        for tower, src in ((f"reg_tower{s}", f"shared_fcs_reg.{s}"),
+                           (f"bag_tower{s}", f"shared_fcs_bag.{s}")):
+            out[tower] = {
+                "fc0": {"kernel": _tower_fc0_w(sd, f"{src}.0.weight"),
+                        "bias": _to_numpy(sd[f"{src}.0.bias"])},
+                "fc1": {"kernel": _linear_w(sd, f"{src}.1.weight"),
+                        "bias": _to_numpy(sd[f"{src}.1.bias"])},
+            }
+        for fc in ("fc_reg", "fc_cls", "fc_ins"):
+            out[f"{fc}{s}"] = {"kernel": _linear_w(sd, f"{fc}.{s}.weight"),
+                               "bias": _to_numpy(sd[f"{fc}.{s}.bias"])}
+    return out
+
+
+def _merge_into(dst_node, src_node, path=""):
+    for k, v in src_node.items():
+        if isinstance(v, dict):
+            if k not in dst_node:
+                raise KeyError(f"unexpected module {path}/{k}")
+            _merge_into(dst_node[k], v, f"{path}/{k}")
+        else:
+            assert np.shape(dst_node[k]) == np.shape(v), (
+                path, k, np.shape(dst_node[k]), np.shape(v))
+            dst_node[k] = np.asarray(v, np.float32)
+
+
+def load_torch_detector_into(params, state_dict: Dict[str, Any],
+                             prefix: str = "", num_stages: int = 1):
+    """Port a full reference Student_FCOS state_dict (backbone + neck +
+    neck_agg + bbox_head incl. MIL FCs) into our flax params.
+
+    `prefix` strips a leading submodule path — pass 'teacher.' or 'student.'
+    to load one branch of a reference TS_P2B_FCOS checkpoint
+    (fcos_p2b_teacher_student.py:60-61 registers both under those names)."""
+    import jax
+
+    sd = {k.removeprefix(prefix): v for k, v in state_dict.items()
+          if k.startswith(prefix)}
+
+    def sub(p):
+        return {k.removeprefix(p): v for k, v in sd.items() if k.startswith(p)}
+
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    tree = params["params"]
+    _merge_into(tree["backbone"], torch_resnet50_to_flax(sub("backbone.")))
+    _merge_into(tree["neck"], torch_fpn_to_flax(sub("neck.")))
+    _merge_into(tree["neck_agg"], torch_psagg_to_flax(sub("neck_agg.")))
+    head_sd = sub("bbox_head.")
+    _merge_into(tree["bbox_head"], torch_fcos_head_to_flax(head_sd))
+    _merge_into(tree["mil_head"], torch_mil_to_flax(head_sd, num_stages))
+    return params
+
+
 def load_torch_resnet50_into(params, ckpt_path: str):
     """Load a .pth checkpoint and replace the backbone subtree in `params`."""
     import torch
