@@ -132,20 +132,30 @@ def multiclass_nms_rotated(
     labels_f = jnp.broadcast_to(jnp.arange(c)[None, :], (n, c)).reshape(-1)
     valid = scores_f > score_thr
 
-    cap = min(boxes_f.shape[0], max(2048, max_out))
-    top_scores, top_idx = jax.lax.top_k(jnp.where(valid, scores_f, -jnp.inf), cap)
-    top_boxes = boxes_f[top_idx]
-    top_labels = labels_f[top_idx]
-    iou = rbox_iou(top_boxes, top_boxes)
-    same = top_labels[:, None] == top_labels[None, :]
-    iou = jnp.where(same & (top_scores[None] > -jnp.inf) & (top_scores[:, None] > -jnp.inf),
-                    iou, 0.0)
-    keep = _greedy_suppress(iou, top_scores, iou_thr, iters=64) & (top_scores > -jnp.inf)
+    # rotated IoU is translation-invariant, so the per-class coordinate-offset
+    # trick works on (cx, cy): classes land far apart and never suppress
+    max_coord = jnp.max(jnp.where(valid[:, None], jnp.abs(boxes_f[:, :4]), 0.0)) * 2 + 1.0
+    off = labels_f.astype(boxes_f.dtype) * max_coord
+    boxes_off = boxes_f.at[:, 0].add(off)
 
-    final_scores = jnp.where(keep, top_scores, -jnp.inf)
-    k = min(max_out, cap)
-    out_scores, sel = jax.lax.top_k(final_scores, k)
-    sel_idx = top_idx[sel]
+    m = boxes_off.shape[0]
+    chunk = 2048
+    if m <= chunk:
+        iou = rbox_iou(boxes_off, boxes_off)
+        iou = jnp.where(valid[None] & valid[:, None], iou, 0.0)
+        keep = _greedy_suppress(
+            iou, jnp.where(valid, scores_f, -jnp.inf), iou_thr, iters=64) & valid
+        final_scores = jnp.where(keep, scores_f, -jnp.inf)
+        k = min(max_out, m)
+        out_scores, sel_idx = jax.lax.top_k(final_scores, k)
+    else:
+        # full-width exact greedy over all nms_pre*C candidates (see
+        # _chunked_class_nms); mirrors mmrotate multiclass_nms_rotated which
+        # never caps the candidate set
+        k = max_out
+        out_scores, sel_idx, _ = _chunked_class_nms(
+            boxes_off, scores_f, valid, rbox_iou, iou_thr, max_out,
+            chunk, iters=32)
     out_valid = out_scores > -jnp.inf
     out_scores = jnp.where(out_valid, out_scores, 0.0)
     dets = jnp.concatenate([boxes_f[sel_idx], out_scores[:, None]], axis=-1)
@@ -156,6 +166,53 @@ def multiclass_nms_rotated(
         out_labels = jnp.pad(out_labels, (0, pad), constant_values=-1)
         out_valid = jnp.pad(out_valid, (0, pad))
     return dets, out_labels, out_valid
+
+
+def _chunked_class_nms(boxes_iou, scores_f, valid, iou_fn, iou_thr: float,
+                       max_out: int, chunk: int, iters: int):
+    """Exact full-width greedy NMS over M candidates in score-sorted chunks.
+
+    Equivalence to one-shot greedy over all M candidates: chunks are visited
+    in descending score order against a buffer of the top `max_out` kept
+    boxes. While the buffer is not full, no kept box has been dropped, so
+    suppression is exact; once it IS full, every remaining candidate scores
+    below all `max_out` buffered boxes and can never enter the output, so
+    any suppression error among them is unobservable. Returns
+    (kept_scores [max_out] desc, kept_idx [max_out] into the input arrays,
+    kept_valid [max_out]).
+    """
+    m = boxes_iou.shape[0]
+    nchunks = -(-m // chunk)
+    pad = nchunks * chunk - m
+    scores_m = jnp.where(valid, scores_f, -jnp.inf)
+    if pad:
+        boxes_iou = jnp.pad(boxes_iou, ((0, pad), (0, 0)))
+        scores_m = jnp.pad(scores_m, (0, pad), constant_values=-jnp.inf)
+    order = jnp.argsort(-scores_m, stable=True)
+
+    d = boxes_iou.shape[-1]
+    kept_scores = jnp.full((max_out,), -jnp.inf, dtype=scores_m.dtype)
+    kept_boxes = jnp.zeros((max_out, d), dtype=boxes_iou.dtype)
+    kept_idx = jnp.zeros((max_out,), dtype=jnp.int32)
+    for ci in range(nchunks):
+        sl = order[ci * chunk:(ci + 1) * chunk]
+        cb = boxes_iou[sl]
+        cs = scores_m[sl]
+        dead = ((iou_fn(cb, kept_boxes) > iou_thr)
+                & (kept_scores > -jnp.inf)[None]).any(-1)
+        alive = (cs > -jnp.inf) & ~dead
+        iou = iou_fn(cb, cb)
+        iou = jnp.where(alive[None] & alive[:, None], iou, 0.0)
+        keep_chunk = _greedy_suppress(
+            iou, jnp.where(alive, cs, -jnp.inf), iou_thr, iters=iters) & alive
+        merged_scores = jnp.concatenate(
+            [kept_scores, jnp.where(keep_chunk, cs, -jnp.inf)])
+        merged_boxes = jnp.concatenate([kept_boxes, cb])
+        merged_idx = jnp.concatenate([kept_idx, sl.astype(jnp.int32)])
+        kept_scores, sel = jax.lax.top_k(merged_scores, max_out)
+        kept_boxes = merged_boxes[sel]
+        kept_idx = merged_idx[sel]
+    return kept_scores, kept_idx, kept_scores > -jnp.inf
 
 
 @partial(jax.jit, static_argnames=("max_out", "iou_thr", "score_thr"))
@@ -186,18 +243,24 @@ def multiclass_nms(
     offsets = labels_f.astype(boxes_f.dtype) * max_coord
     boxes_off = boxes_f + offsets[:, None]
 
-    # cap the candidate set to keep the O(N^2) IoU matrix bounded:
-    # keep the top `cap` candidates by score (others can't make max_out anyway
-    # only if cap >= max_out; we use cap = max(4096, max_out)).
-    cap = min(boxes_off.shape[0], max(4096, max_out))
-    top_scores, top_idx = jax.lax.top_k(jnp.where(valid, scores_f, -jnp.inf), cap)
-    keep = nms(boxes_off[top_idx], top_scores, iou_thr, valid=top_scores > -jnp.inf,
-               iters=64)
-
-    final_scores = jnp.where(keep, top_scores, -jnp.inf)
-    k = min(max_out, cap)
-    out_scores, sel = jax.lax.top_k(final_scores, k)
-    sel_idx = top_idx[sel]
+    m = boxes_off.shape[0]
+    chunk = 4096
+    if m <= chunk:
+        # single [M, M] matrix — one-shot greedy
+        keep = nms(boxes_off, jnp.where(valid, scores_f, -jnp.inf), iou_thr,
+                   valid=valid, iters=64)
+        final_scores = jnp.where(keep & valid, scores_f, -jnp.inf)
+        k = min(max_out, m)
+        out_scores, sel_idx = jax.lax.top_k(final_scores, k)
+    else:
+        # full-width: ALL nms_pre*C candidates participate, processed in
+        # score-sorted chunks (exact — see _chunked_class_nms); closes the
+        # round-2 candidate-cap parity hole vs mmdet bbox_nms.py, which runs
+        # batched_nms over the full class-expanded set.
+        k = max_out
+        out_scores, sel_idx, _ = _chunked_class_nms(
+            boxes_off, scores_f, valid, bbox_overlaps, iou_thr, max_out,
+            chunk, iters=32)
     out_valid = out_scores > -jnp.inf
     out_scores = jnp.where(out_valid, out_scores, 0.0)
     dets = jnp.concatenate([boxes_f[sel_idx], out_scores[:, None]], axis=-1)

@@ -117,3 +117,86 @@ def test_parallel_nms_deep_suppression_chain_is_exact():
     assert keep_par.sum() == n // 2
     np.testing.assert_array_equal(keep_par, keep_seq)
     assert keep_par[::2].all() and not keep_par[1::2].any()
+
+
+def _numpy_multiclass_nms(boxes, scores, score_thr, iou_thr, max_out):
+    """Full-width sequential oracle of mmdet multiclass_nms semantics."""
+    n, c = scores.shape
+    cand = []
+    for i in range(n):
+        for cls in range(c):
+            if scores[i, cls] > score_thr:
+                cand.append((scores[i, cls], i, cls))
+    cand.sort(key=lambda t: -t[0])
+    kept = []
+    for s, i, cls in cand:
+        ok = True
+        for s2, i2, cls2 in kept:
+            if cls2 != cls:
+                continue
+            b1, b2 = boxes[i], boxes[i2]
+            x1, y1 = max(b1[0], b2[0]), max(b1[1], b2[1])
+            x2, y2 = min(b1[2], b2[2]), min(b1[3], b2[3])
+            inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+            a1 = (b1[2] - b1[0]) * (b1[3] - b1[1])
+            a2 = (b2[2] - b2[0]) * (b2[3] - b2[1])
+            if inter / (a1 + a2 - inter) > iou_thr:
+                ok = False
+                break
+        if ok:
+            kept.append((s, i, cls))
+        if len(kept) >= max_out:
+            break
+    return kept
+
+
+def test_multiclass_nms_full_width_dense_scene():
+    """AI-TOD-density regression: 600 boxes x 8 classes = 4800 class-expanded
+    candidates (> the 4096 single-matrix chunk) must run FULL-WIDTH — every
+    candidate participates, matching mmdet bbox_nms.py which never caps.
+    Closes the round-2 verdict's candidate-cap parity hole."""
+    rng = np.random.RandomState(7)
+    n, c = 600, 8
+    # clustered tiny boxes -> heavy overlap, many suppression chains
+    centers = rng.uniform(10, 790, (60, 2))
+    pick = centers[rng.randint(0, 60, n)] + rng.normal(0, 6, (n, 2))
+    wh = rng.uniform(4, 14, (n, 2)).astype(np.float32)
+    boxes = np.concatenate([pick - wh / 2, pick + wh / 2], -1).astype(np.float32)
+    scores = (rng.rand(n, c) ** 3).astype(np.float32)  # long low-score tail
+
+    max_out = 400
+    dets, labels, valid = N.multiclass_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.05, 0.5, max_out)
+    got = [(round(float(s), 5), int(l))
+           for s, l, v in zip(np.asarray(dets[:, 4]), np.asarray(labels),
+                              np.asarray(valid)) if v]
+
+    ref = [(round(float(s), 5), cls)
+           for s, i, cls in _numpy_multiclass_nms(boxes, scores, 0.05, 0.5, max_out)]
+    assert len(got) == len(ref)
+    assert got == ref
+
+
+def test_multiclass_nms_chunked_matches_single_shot():
+    """The chunked path (M > 4096) must equal the one-shot path run at a
+    larger chunk size on identical inputs."""
+    from point_teacher_tpu.ops.nms import _chunked_class_nms
+    from point_teacher_tpu.ops.boxes import bbox_overlaps
+
+    rng = np.random.RandomState(3)
+    m = 3000
+    xy = rng.uniform(0, 400, (m, 2)).astype(np.float32)
+    wh = rng.uniform(4, 20, (m, 2)).astype(np.float32)
+    boxes = np.concatenate([xy, xy + wh], -1).astype(np.float32)
+    scores = rng.rand(m).astype(np.float32)
+    valid = scores > 0.1
+
+    ks1, ki1, kv1 = _chunked_class_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                       jnp.asarray(valid), bbox_overlaps,
+                                       0.5, 256, chunk=512, iters=16)
+    ks2, ki2, kv2 = _chunked_class_nms(jnp.asarray(boxes), jnp.asarray(scores),
+                                       jnp.asarray(valid), bbox_overlaps,
+                                       0.5, 256, chunk=4096, iters=16)
+    np.testing.assert_array_equal(np.asarray(kv1), np.asarray(kv2))
+    np.testing.assert_array_equal(np.asarray(ki1)[np.asarray(kv1)],
+                                  np.asarray(ki2)[np.asarray(kv2)])
