@@ -152,7 +152,9 @@ def main():
     med = float(np.median(times))
     imgs_per_sec = args.batch * k / med
 
-    baseline_imgs_per_sec = 4.0  # see module docstring
+    # see BASELINE.md derivations: 4.0 imgs/s HBB 800px, 2.0 imgs/s rotated
+    # 1200px — both carry a ~2x cushion in the reference's favor
+    baseline_imgs_per_sec = 2.0 if args.rotated else 4.0
     metric = ("train_imgs_per_sec_per_chip_rotated_1200px" if args.rotated
               else "train_imgs_per_sec_quick" if args.quick
               else "train_imgs_per_sec_per_chip_phase2_800px" if args.phase2
