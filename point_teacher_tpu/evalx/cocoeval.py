@@ -146,6 +146,7 @@ class COCOStyleEval:
             for ai, (aname, a0, a1) in enumerate(self.area_rngs):
                 for ti, thr in enumerate(self.iou_thrs):
                     scores_all, match_all, ignore_all = [], [], []
+                    match_per_img, matchig_per_img = [], []
                     ngt = 0
                     for (d, s, g), iou in zip(data, ious):
                         d = d[:md_max]
@@ -160,6 +161,8 @@ class COCOStyleEval:
                         ignore_all.append(dt_ig | dt_out)
                         scores_all.append(s)
                         match_all.append(dt_iou)
+                        match_per_img.append(dt_iou)
+                        matchig_per_img.append(dt_ig)
                         ngt += n_reg
                     scores_cat = np.concatenate(scores_all) if scores_all else np.zeros(0)
                     match_cat = np.concatenate(match_all) if match_all else np.zeros(0)
@@ -172,11 +175,19 @@ class COCOStyleEval:
                     keep = ~ig_cat
                     tp = ((match_cat >= 0) & keep).astype(np.float64)
                     fp = ((match_cat < 0) & keep).astype(np.float64)
-                    # AR per maxDet (per-image det cap, re-matched at md)
+                    # AR per maxDet: greedy matching in score order has the
+                    # prefix property (a det's match never depends on
+                    # lower-scored dets), so the maxDet=md matching IS the
+                    # first md entries of the maxDet=max matching —
+                    # pycocotools itself slices dtm[:, :maxDet]. No
+                    # re-matching (this loop was O(T*A*MD) full re-matches
+                    # per class; at SODA-A maxDets=20000 that dominated).
                     for mi, md in enumerate(self.max_dets):
-                        recall[ti, c, ai, mi] = self._recall_at_maxdet(
-                            data, ious, thr, (a0, a1), md, ngt
+                        tp_md = sum(
+                            int(((di[:md] >= 0) & ~ig[:md]).sum())
+                            for di, ig in zip(match_per_img, matchig_per_img)
                         )
+                        recall[ti, c, ai, mi] = tp_md / ngt
                     ctp = np.cumsum(tp)
                     cfp = np.cumsum(fp)
                     rc = ctp / ngt
@@ -197,19 +208,6 @@ class COCOStyleEval:
         self.recall = recall
         self.olrp = olrp
         return self.summarize()
-
-    def _recall_at_maxdet(self, data, ious, thr, arng, md, ngt) -> float:
-        a0, a1 = arng
-        tp_total = 0
-        for (d, s, g), iou in zip(data, ious):
-            d = d[:md]
-            garea = self.area_fn(g)
-            gt_ig = (garea < a0) | (garea > a1)
-            dt_iou, dt_ig, _ = _match_img(
-                d, g, gt_ig, thr, iou=iou[:md] if len(iou) else iou,
-            )
-            tp_total += int(((dt_iou >= 0) & ~dt_ig).sum())
-        return tp_total / ngt if ngt else -1.0
 
     def summarize(self) -> Dict[str, float]:
         area_names = [a for (a, _, _) in self.area_rngs]
