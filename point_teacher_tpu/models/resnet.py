@@ -48,6 +48,16 @@ class FrozenBN(nn.Module):
         return x * scale + shift
 
 
+class _StemKernel(nn.Module):
+    """Holds the stem conv kernel in nn.Conv's layout/init so the
+    space-to-depth stem is parameter-compatible with the plain one."""
+
+    @nn.compact
+    def __call__(self) -> Array:
+        return self.param("kernel", nn.initializers.lecun_normal(),
+                          (7, 7, 3, 64))
+
+
 class Bottleneck(nn.Module):
     planes: int
     stride: int = 1
@@ -119,15 +129,47 @@ class ResNet(nn.Module):
     # frozen prefix's backward pass — the optimizer mask (train/optim.py)
     # independently guarantees no updates either way.
     frozen_stages: int = -1
+    # Space-to-depth stem: compute the 7x7/s2 stem conv as an exactly
+    # equivalent 4x4/s1 conv on 2x2 space-to-depth input (kernel zero-padded
+    # to 8x8 and repacked). A stride-2 7x7 conv over 3 channels maps poorly
+    # onto the MXU (tiny contraction dim, strided windows); the repacked form
+    # contracts over 4*4*12=192 and reads dense windows. Parameters stay in
+    # the original [7,7,3,64] layout (torch-port compatible); the repack is a
+    # per-step reshape of 9.4k weights.
+    s2d_stem: bool = True
     dtype: Any = jnp.float32
+
+    def _stem_conv(self, x: Array) -> Array:
+        if not self.s2d_stem:
+            return nn.Conv(64, (7, 7), strides=(2, 2), padding=3,
+                           use_bias=False, dtype=self.dtype,
+                           name="stem_conv")(x)
+        # param lives at backbone/stem_conv/kernel in the SAME [7,7,3,64]
+        # layout as the plain nn.Conv (torch-port + checkpoint compatible)
+        k = _StemKernel(name="stem_conv")()
+        # y[i,j] = sum_{dy,dx<7} k[dy,dx] xpad3[2i+dy, 2j+dx]
+        #        = sum_{e,f<8} kp[e,f] xpad4[2i+e, 2j+f],  kp[1:,1:] = k
+        kp = jnp.pad(k, ((1, 0), (1, 0), (0, 0), (0, 0)))
+        # e = 2e'+p: [8,8,3,64] -> [4,2,4,2,3,64] -> [4,4,(2,2,3),64]
+        kp = kp.reshape(4, 2, 4, 2, 3, 64).transpose(0, 2, 1, 3, 4, 5)
+        kp = kp.reshape(4, 4, 12, 64).astype(self.dtype)
+        b, hh, ww, c = x.shape
+        xp = jnp.pad(x, ((0, 0), (4, 2), (4, 2), (0, 0)))
+        xs = xp.reshape(b, (hh + 6) // 2, 2, (ww + 6) // 2, 2, c)
+        xs = xs.transpose(0, 1, 3, 2, 4, 5).reshape(
+            b, (hh + 6) // 2, (ww + 6) // 2, 4 * c)
+        return jax.lax.conv_general_dilated(
+            xs, kp, window_strides=(1, 1), padding="VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=self.dtype,
+        )
 
     @nn.compact
     def __call__(self, x: Array):
         blocks = STAGE_BLOCKS[self.depth]
         block_cls = Bottleneck if self.depth in BOTTLENECK_DEPTHS else BasicBlock
 
-        h = nn.Conv(64, (7, 7), strides=(2, 2), padding=3, use_bias=False,
-                    dtype=self.dtype, name="stem_conv")(x.astype(self.dtype))
+        h = self._stem_conv(x.astype(self.dtype))
         h = FrozenBN(name="stem_bn")(h)
         h = nn.relu(h)
         # torch MaxPool2d(kernel=3, stride=2, padding=1)

@@ -92,3 +92,29 @@ def test_student_fcos_odd_pyramid_sizes(rng):
     (cls_score, bbox_pred, ctr), feat = model.apply(params, img)
     assert cls_score.shape == (1, 20, 20, 4)
     assert np.isfinite(np.asarray(cls_score)).all()
+
+
+def test_space_to_depth_stem_equals_plain_stem():
+    """The s2d stem (4x4/s1 conv on 2x2 space-to-depth input, kernel
+    repacked from the stored [7,7,3,64]) must reproduce the plain 7x7/s2
+    stem exactly — same params, same math, MXU-friendlier layout."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from point_teacher_tpu.models.resnet import ResNet
+
+    r = np.random.RandomState(0)
+    x = jnp.asarray(r.randn(2, 64, 64, 3).astype(np.float32))
+    m_plain = ResNet(depth=50, s2d_stem=False, dtype=jnp.float32)
+    m_s2d = ResNet(depth=50, s2d_stem=True, dtype=jnp.float32)
+    params = m_plain.init(jax.random.PRNGKey(0), x)
+    # identical parameter trees: the s2d variant reuses stem_conv/kernel
+    params2 = m_s2d.init(jax.random.PRNGKey(0), x)
+    t1 = jax.tree_util.tree_structure(params)
+    t2 = jax.tree_util.tree_structure(params2)
+    assert t1 == t2
+    o_plain = m_plain.apply(params, x)
+    o_s2d = m_s2d.apply(params, x)
+    for a, b in zip(o_plain, o_s2d):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-5, atol=1e-4)
