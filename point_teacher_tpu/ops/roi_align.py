@@ -276,6 +276,43 @@ def roi_align_window_matmul(
 roi_align = roi_align_matmul
 
 
+def roi_align_batched(
+    feat: Array,    # [B, H, W, C]
+    rois: Array,    # [B, N, 4] xyxy image coords
+    out_size: int = 7,
+    spatial_scale: float = 1.0 / 8,
+    sampling_ratio: int = 0,
+    chunk: int = 256,
+    use_pallas: bool | None = None,
+) -> Array:
+    """Batched RoIAlign dispatcher -> [B, N, out, out, C].
+
+    use_pallas=True routes to the fused VMEM-resident kernel
+    (ops/roi_align_pallas.py) — bit-exact vs this path on TPU (f32 and
+    bf16), but MEASURED SLOWER at the MIL geometry (B=8, 7.7k rois/img,
+    100x100x256 bf16: fwd 168-194 ms vs 102 ms for the XLA two-einsum path;
+    fwd+bwd 305 vs 178 ms — r3 ledger in NOTES_r3.md). The per-roi second
+    contraction runs at M=7 MXU utilisation and its relayouts dominate;
+    XLA's fusion of the einsum chain wins. Default stays False."""
+    import jax as _jax
+
+    if use_pallas is None:
+        use_pallas = False
+    if use_pallas:
+        from .roi_align_pallas import roi_align_batched_pallas
+
+        return roi_align_batched_pallas(
+            feat, rois, out_size=out_size, spatial_scale=spatial_scale,
+            sampling_ratio=sampling_ratio, chunk=8,
+        )
+    return _jax.vmap(
+        lambda f, r: roi_align_matmul(
+            f, r, out_size=out_size, spatial_scale=spatial_scale,
+            sampling_ratio=sampling_ratio, chunk=chunk,
+        )
+    )(feat, rois)
+
+
 @partial(jax.jit, static_argnames=("out_size", "sampling_ratio", "spatial_scale", "chunk"))
 def roi_align_gather(
     feat: Array,

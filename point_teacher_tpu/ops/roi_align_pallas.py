@@ -23,16 +23,16 @@ exact mmcv-adaptive machinery of ops/roi_align.py, so numerics match
 roi_align_matmul to bf16 rounding (golden-tested in
 tests/test_roi_align_pallas.py via interpret mode).
 
-STATUS: correct under the pallas interpreter (both fwd and the custom-vjp
-backward), but NOT yet on the Mosaic TPU compiler: the per-roi second
-contraction needs tmp rows reorganised from [O, W*C] to [W, O*C], a
-shape-cast across the tiled (sublane, lane) dims that Mosaic rejects
-("infer-vector-layout: unsupported shape cast"). Until the kernel is
-restructured around that constraint (e.g. channel-tiled grid with W as the
-lane dim), the XLA two-einsum path in ops/roi_align.py remains the MIL hot
-path. Kept as groundwork: the grid/blocking, VMEM budget (chunk=8 keeps
-feat 5.1MB + f32 acc 5.7MB under 16MB) and the custom-vjp plumbing are
-validated.
+STATUS (r3): compiles and is EXACT on the Mosaic TPU compiler (f32 fwd
+bit-exact vs roi_align_matmul, grad to 2e-6; bf16 fwd bit-exact vs the bf16
+matmul path). Two restructures unlocked it:
+- the bf16 (CHUNK, O, H) -> (CHUNK*O, H) weight reshape is done by the
+  CALLER in XLA (Mosaic rejects that cast under 16-row bf16 sublane tiling
+  at O=7); every remaining in-kernel relayout runs in the r3 toolchain's
+  supported set;
+- the grid is channel-tiled (B, C/CTILE, N/CHUNK) with the roi sweep
+  innermost, bounding VMEM blocks (the full-C feature block double-buffered
+  blew the 16MB scoped limit at the 800px geometry).
 """
 from __future__ import annotations
 
@@ -47,19 +47,26 @@ Array = jnp.ndarray
 
 
 def _fwd_kernel(feat_ref, wy_ref, wx_ref, out_ref):
-    # feat_ref [1, H, W, C]; wy_ref [1, CHUNK, O, H]; wx_ref [1, CHUNK, O, W]
-    # out_ref [1, CHUNK, O, O, C]
+    # feat_ref [1, H, W, C]; wy_ref [1, CHUNK*O, H] (pre-flattened by the
+    # caller — a bf16 in-kernel (CHUNK, O, H) -> (CHUNK*O, H) reshape is a
+    # shape cast Mosaic rejects at O=7); wx_ref [1, CHUNK, O, W];
+    # out_ref [1, CHUNK, O, O, C].
+    # Layout rule learned on Mosaic: keep every VALUE-level relayout
+    # (reshape/swapaxes across the tiled dims) in f32 — bf16 tiling
+    # (16-row sublanes) rejects the odd-sized casts; bf16 enters only as
+    # direct matmul input dtype.
     h = feat_ref.shape[1]
     w = feat_ref.shape[2]
     c = feat_ref.shape[3]
-    chunk = wy_ref.shape[1]
-    o = wy_ref.shape[2]
+    chunk = wx_ref.shape[1]
+    o = wx_ref.shape[2]
 
     f = feat_ref[0].reshape(h, w * c)
-    wy = wy_ref[0].reshape(chunk * o, h)
-    inter_t = jnp.float32 if feat_ref.dtype == jnp.float32 else jnp.bfloat16
-    # Mosaic requires a 32-bit matmul accumulator; round to bf16 after
-    tmp = jnp.dot(wy, f, preferred_element_type=jnp.float32).astype(inter_t)
+    # one MXU matmul (bf16 inputs, f32 accumulate); tmp STAYS f32 — bf16
+    # relayouts (16-row sublane tiling over 7-row groups) blow the Mosaic
+    # kernel stack; with the channel-tiled grid the f32 intermediate fits
+    inter_t = jnp.float32
+    tmp = jnp.dot(wy_ref[0], f, preferred_element_type=jnp.float32)
     tmp = tmp.reshape(chunk, o, w, c)
 
     # static unrolled loop: Mosaic has no dynamic_slice on values
@@ -67,43 +74,47 @@ def _fwd_kernel(feat_ref, wy_ref, wx_ref, out_ref):
         # [O, W, C] -> [W, O*C] so the roi's x-contraction is one 2D dot;
         # the dot yields [O(j), O(i), C] — swap back to [i, j, c]
         t_n = tmp[n].swapaxes(0, 1).reshape(w, o * c)
-        on = jnp.dot(wx_ref[0, n], t_n, preferred_element_type=jnp.float32)
+        on = jnp.dot(wx_ref[0, n].astype(inter_t), t_n,
+                     preferred_element_type=jnp.float32)
         on = on.reshape(o, o, c).swapaxes(0, 1)
         out_ref[0, n] = on.astype(out_ref.dtype)
 
 
-def _bwd_kernel(wy_ref, wx_ref, dout_ref, dfeat_ref):
-    # wy_ref [1, CHUNK, O, H]; wx_ref [1, CHUNK, O, W];
-    # dout_ref [1, CHUNK, O, O, C]; dfeat_ref [1, H, W, C] (f32, revisited)
-    h = dfeat_ref.shape[1]
-    w = dfeat_ref.shape[2]
-    c = dfeat_ref.shape[3]
-    chunk = wy_ref.shape[1]
-    o = wy_ref.shape[2]
+def _make_bwd_kernel(nj: int):
+    def _bwd_kernel(wy_ref, wx_ref, dout_ref, dfeat_ref):
+        # wy_ref [1, CHUNK*O, H] (pre-flattened); wx_ref [1, CHUNK, O, W];
+        # dout_ref [1, CHUNK, O, O, C]; dfeat_ref [1, H, W, C] (f32,
+        # revisited across the roi chunks — zero-init at j = t % nj == 0).
+        # Same Mosaic layout rule as _fwd_kernel: relayouts in f32 only.
+        h = dfeat_ref.shape[1]
+        w = dfeat_ref.shape[2]
+        c = dfeat_ref.shape[3]
+        chunk = wx_ref.shape[1]
+        o = wx_ref.shape[2]
 
-    inter_t = jnp.bfloat16 if wy_ref.dtype == jnp.bfloat16 else jnp.float32
+        @pl.when(pl.program_id(1) % nj == 0)
+        def _():
+            dfeat_ref[0] = jnp.zeros((h, w, c), dfeat_ref.dtype)
 
-    @pl.when(pl.program_id(1) == 0)
-    def _():
-        dfeat_ref[0] = jnp.zeros((h, w, c), dfeat_ref.dtype)
+        # build dtmp as [CHUNK*O(i), W*C] then one accumulation matmul:
+        # dtmp[n][i, w, c] = sum_j wx[n, j, w] * dout[n, i, j, c]
+        # (static unrolled loop: Mosaic has no dynamic_slice on values)
+        parts = []
+        for n in range(chunk):
+            d_n = dout_ref[0, n].astype(jnp.float32)    # [O(i), O(j), C]
+            # contract j: [O(i)*C, O(j)] @ [O(j), W] -> [O(i)*C, W]
+            d_icj = d_n.swapaxes(1, 2).reshape(o * c, o)
+            wx_n = wx_ref[0, n].astype(jnp.float32)
+            t = jnp.dot(d_icj, wx_n, preferred_element_type=jnp.float32)
+            # [O(i), C, W] -> [O(i), W, C] -> [O(i), W*C]
+            parts.append(t.reshape(o, c, w).swapaxes(1, 2).reshape(o, w * c))
+        dtmp = jnp.concatenate(parts, axis=0)
 
-    # build dtmp as [CHUNK*O(i), W*C] then one accumulation matmul:
-    # dtmp[n][i, w, c] = sum_j wx[n, j, w] * dout[n, i, j, c]
-    # (static unrolled loop: Mosaic has no dynamic_slice on values)
-    parts = []
-    for n in range(chunk):
-        d_n = dout_ref[0, n].astype(inter_t)            # [O(i), O(j), C]
-        # contract j: [O(i)*C, O(j)] @ [O(j), W] -> [O(i)*C, W]
-        d_icj = d_n.swapaxes(1, 2).reshape(o * c, o)
-        t = jnp.dot(d_icj, wx_ref[0, n],
-                    preferred_element_type=jnp.float32).astype(inter_t)
-        # [O(i), C, W] -> [O(i), W, C] -> [O(i), W*C]
-        parts.append(t.reshape(o, c, w).swapaxes(1, 2).reshape(o, w * c))
-    dtmp = jnp.concatenate(parts, axis=0)
+        wy_t = wy_ref[0].astype(jnp.float32).swapaxes(0, 1)  # [H, CHUNK*O]
+        upd = jnp.dot(wy_t, dtmp, preferred_element_type=jnp.float32)
+        dfeat_ref[0] = dfeat_ref[0] + upd.reshape(h, w, c).astype(dfeat_ref.dtype)
 
-    wy_t = wy_ref[0].reshape(chunk * o, h).swapaxes(0, 1)  # [H, CHUNK*O]
-    upd = jnp.dot(wy_t, dtmp, preferred_element_type=jnp.float32)
-    dfeat_ref[0] = dfeat_ref[0] + upd.reshape(h, w, c).astype(dfeat_ref.dtype)
+    return _bwd_kernel
 
 
 def _pad_rois(x, chunk):
@@ -119,24 +130,36 @@ def _pooled(feat, wy, wx, chunk, interpret):
     return _pooled_fwd(feat, wy, wx, chunk, interpret)[0]
 
 
-def _run_fwd(feat, wy, wx, chunk, interpret):
+def _run_fwd(feat, wy, wx, chunk, interpret, ctile=128):
+    # wy [B, N*O, H] pre-flattened; wx [B, N, O, W].
+    # Channel-tiled grid (B, C/CTILE, N/CHUNK): the y/x contractions are
+    # per-channel independent, so tiling C bounds the VMEM-resident feature
+    # block (the full [H, W, C] block double-buffered blows the 16MB scoped
+    # limit at the 800px geometry). The roi sweep is the INNERMOST grid dim
+    # so the feature tile stays resident across all roi chunks of an image.
     b, h, w, c = feat.shape
-    n = wy.shape[1]
-    o = wy.shape[2]
-    grid = (b, n // chunk)
+    n = wx.shape[1]
+    o = wx.shape[2]
+    ct = min(ctile, c)
+    nj = n // chunk
+    # (k, j) fused into ONE grid dim (k = channel tile outer, j = roi chunk
+    # inner): the equivalent 3-D grid hangs on device when c//ct > 1 (Mosaic
+    # runtime; single-tile 3-D runs fine), while 2-D grids with index-map
+    # arithmetic behave.
+    grid = (b, (c // ct) * nj)
     return pl.pallas_call(
         _fwd_kernel,
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+            pl.BlockSpec((1, h, w, ct), lambda i, t: (i, 0, 0, t // nj),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, o, h), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, chunk * o, h), lambda i, t: (i, t % nj, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, o, w), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, chunk, o, w), lambda i, t: (i, t % nj, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, chunk, o, o, c),
-                               lambda i, j: (i, j, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, chunk, o, o, ct),
+                               lambda i, t: (i, t % nj, 0, 0, t // nj),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, n, o, o, c), feat.dtype),
         interpret=interpret,
@@ -153,25 +176,27 @@ def _pooled_fwd(feat, wy, wx, chunk, interpret):
 def _pooled_bwd(chunk, interpret, res, dout):
     wy, wx, token = res
     b = wy.shape[0]
-    h = wy.shape[3]
+    h = wy.shape[2]
     w = wx.shape[3]
     c = token.shape[1]
     feat_dtype = token.dtype
-    n = wy.shape[1]
-    o = wy.shape[2]
-    grid = (b, n // chunk)
+    n = wx.shape[1]
+    o = wx.shape[2]
+    ct = min(128, c)
+    nj = n // chunk
+    grid = (b, (c // ct) * nj)  # fused (k, j) — see _run_fwd
     dfeat = pl.pallas_call(
-        _bwd_kernel,
+        _make_bwd_kernel(nj),
         grid=grid,
         in_specs=[
-            pl.BlockSpec((1, chunk, o, h), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, chunk * o, h), lambda i, t: (i, t % nj, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, o, w), lambda i, j: (i, j, 0, 0),
+            pl.BlockSpec((1, chunk, o, w), lambda i, t: (i, t % nj, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, chunk, o, o, c), lambda i, j: (i, j, 0, 0, 0),
+            pl.BlockSpec((1, chunk, o, o, ct), lambda i, t: (i, t % nj, 0, 0, t // nj),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0),
+        out_specs=pl.BlockSpec((1, h, w, ct), lambda i, t: (i, 0, 0, t // nj),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((b, h, w, c), jnp.float32),
         interpret=interpret,
@@ -216,5 +241,8 @@ def roi_align_batched_pallas(
     wy, wx = jax.vmap(weights_one)(rois)
     wy = _pad_rois(wy, chunk)
     wx = _pad_rois(wx, chunk)
+    # flatten wy outside the kernel (XLA reshape is free; the in-kernel bf16
+    # (CHUNK, O, H) -> (CHUNK*O, H) cast is one Mosaic rejects at O=7)
+    wy = wy.reshape(b, -1, wy.shape[-1])
     out = _pooled(feat, wy, wx, chunk, interpret)
     return out[:, :n]
