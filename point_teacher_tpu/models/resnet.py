@@ -131,12 +131,13 @@ class ResNet(nn.Module):
     frozen_stages: int = -1
     # Space-to-depth stem: compute the 7x7/s2 stem conv as an exactly
     # equivalent 4x4/s1 conv on 2x2 space-to-depth input (kernel zero-padded
-    # to 8x8 and repacked). A stride-2 7x7 conv over 3 channels maps poorly
-    # onto the MXU (tiny contraction dim, strided windows); the repacked form
-    # contracts over 4*4*12=192 and reads dense windows. Parameters stay in
-    # the original [7,7,3,64] layout (torch-port compatible); the repack is a
-    # per-step reshape of 9.4k weights.
-    s2d_stem: bool = True
+    # to 8x8 and repacked; parameters stay in the [7,7,3,64] layout so
+    # torch-port/checkpoints are unaffected). MEASURED SLOWER on the v5e at
+    # the bench geometry (dense fwd+bwd B=8 800px: 84 ms vs 72 ms plain —
+    # XLA already lowers the strided 7x7 well and the s2d pad+transpose of
+    # the full input costs more than it saves; NOTES_r3.md), so the default
+    # stays False. Kept selectable for other geometries/backends.
+    s2d_stem: bool = False
     dtype: Any = jnp.float32
 
     def _stem_conv(self, x: Array) -> Array:
