@@ -80,6 +80,11 @@ def main():
                          "is stable at AP~1.0; reference uses 0.999")
     ap.add_argument("--filter-score", type=float, default=0.0)
     ap.add_argument("--lamda", type=float, default=1.0)
+    ap.add_argument("--position", type=float, default=0.0,
+                    help="_point_: central fraction for annotation-point "
+                         "sampling (0=center, 1=anywhere in the box — the "
+                         "noise-robustness configs use 0.3/0.6/1.0 with "
+                         "lamda=0.5)")
     ap.add_argument("--burn-in-frac", type=float, default=0.7,
                     help="burn_in_step = frac * steps")
     ap.add_argument("--eval-interval", type=int, default=0,
@@ -114,6 +119,7 @@ def main():
         ema_alpha=args.ema_alpha,
         filter_score=args.filter_score,
         lamda=args.lamda,
+        position=args.position,
         num_training_burninstep1=args.gt, num_training_burninstep2=args.gt,
         fine_proposal_cfg=(FineProposalCfg(base_ratios=(1.0,), min_scale=0.0,
                                            gen_num_neg=16),),
