@@ -443,7 +443,12 @@ def roi_align_rotated_matmul(
     hx = jnp.maximum(0.0, 1.0 - jnp.abs(rx[..., None] - k))
     hy = hy * valid[..., None]
 
-    feat_c = feat.astype(jnp.float32)
+    # bf16 fast path: when the feature map is already bf16 (the training
+    # step's MIL features), contract in bf16 with f32 accumulation — same
+    # policy as the HBB roi_align bf16 matmul path. f32 inputs keep the
+    # exact f32 contraction (golden tests run there).
+    mm_dtype = feat.dtype if feat.dtype == jnp.bfloat16 else jnp.float32
+    feat_c = feat.astype(mm_dtype)
 
     def one_chunk(args):
         wy0_c, wx0_c, hy_c, hx_c = args
@@ -456,7 +461,7 @@ def roi_align_rotated_matmul(
         # per-sample 2D weight = hat(y) (x) hat(x): [Nc, ss*ss, W*W],
         # then one batched [samples, W*W] @ [W*W, C] matmul per roi (MXU)
         wgt = (hy_c[..., :, None] * hx_c[..., None, :]).reshape(
-            nc, ss * ss, window * window)
+            nc, ss * ss, window * window).astype(mm_dtype)
         out = jnp.einsum("nsp,npc->nsc", wgt, win.reshape(nc, window * window, c),
                          preferred_element_type=jnp.float32)
         out = out.reshape(nc, out_size, s, out_size, s, c).mean(axis=(2, 4))

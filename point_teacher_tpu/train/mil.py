@@ -101,10 +101,15 @@ def mil_stage_rotated(
     )
 
     def pool(feat, rr):
-        # MXU windowed rotated RoIAlign (exact while the rotated sampling grid
-        # fits the 32-cell window = 256px; MIL bags on SODA-A are far smaller)
+        # MXU windowed rotated RoIAlign. window=16 cells = 128px coverage:
+        # exact while the rotated sampling grid fits the window — SODA-A
+        # objects top out near 45px (Normal split <= 2000px^2), so bags at
+        # ratio 1.3 sit far inside; larger (degenerate early-training) boxes
+        # clamp to the window border exactly as the previous 256px window
+        # did. Measured 90ms vs 160ms fwd+bwd per 4800 rois at the step
+        # geometry (NOTES_r3 pool race) — the pool is 71% of the step.
         return roi_align_rotated_matmul(feat, rr, out_size=7, spatial_scale=1.0 / 8,
-                                        chunk=64, window=32)
+                                        chunk=128, window=16)
 
     roi_feats = jax.vmap(pool)(mil_feat, ext_rb.reshape(b, -1, 5))
     n = roi_feats.shape[1]

@@ -149,3 +149,40 @@ def test_rotated_inference():
     v = np.asarray(valid)[0]
     # w, h non-negative (norm_on_bbox relu-clamps distances; min_bbox_size=0)
     assert (d[0, v, 2] >= 0).all() and (d[0, v, 3] >= 0).all()
+
+
+def test_sparse_positive_reg_loss_matches_dense():
+    """The max_pos top-k gather in _rotated_reg_loss is exact: every excluded
+    row has zero centerness weight, so losses (and grads) match the dense
+    all-points evaluation bit-for-bit up to float reassociation."""
+    from point_teacher_tpu.train.rdense_losses import _rotated_reg_loss
+
+    rng = np.random.RandomState(0)
+    b, p, g, c = 2, 400, 7, 5
+    points = jnp.asarray(rng.uniform(0, 100, (p, 2)).astype(np.float32))
+    bbox_pred = jnp.asarray(rng.uniform(1, 20, (b, p, 4)).astype(np.float32))
+    angle_pred = jnp.asarray(rng.uniform(-1, 1, (b, p, 1)).astype(np.float32))
+    ctr = jnp.asarray(rng.randn(b, p).astype(np.float32))
+    # sparse positives: <= 3 per "gt column", like the assigner produces
+    labels = np.full((b, p), c, np.int32)
+    for bi in range(b):
+        pos_idx = rng.choice(p, 3 * g, replace=False)
+        labels[bi, pos_idx] = rng.randint(0, c, 3 * g)
+    labels = jnp.asarray(labels)
+    ltrb_t = jnp.asarray(rng.uniform(1, 30, (b, p, 4)).astype(np.float32))
+    angle_t = jnp.asarray(rng.uniform(-1, 1, (b, p, 1)).astype(np.float32))
+
+    def run(max_pos):
+        def f(bp, ap):
+            lb, lc = _rotated_reg_loss(bp, ap, ctr, points, labels, ltrb_t,
+                                       angle_t, c, "log", max_pos=max_pos)
+            return lb + lc
+        val, grads = jax.value_and_grad(f, argnums=(0, 1))(bbox_pred, angle_pred)
+        return val, grads
+
+    v_dense, g_dense = run(None)
+    v_sparse, g_sparse = run(3 * g)
+    np.testing.assert_allclose(np.asarray(v_sparse), np.asarray(v_dense), rtol=1e-5)
+    for gd, gs in zip(g_dense, g_sparse):
+        np.testing.assert_allclose(np.asarray(gs), np.asarray(gd), rtol=1e-5,
+                                   atol=1e-7)
