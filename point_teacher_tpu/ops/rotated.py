@@ -150,16 +150,20 @@ def norm_angle_le90(a: Array) -> Array:
 
 def distance_angle_decode(points: Array, pred5: Array) -> Array:
     """DistanceAnglePointCoder.decode (mmrotate): (l, t, r, b, theta) at
-    `points` -> (cx, cy, w, h, theta). Reference: rotated_fcos_head_p2rb_ts.py
-    decodes with self.bbox_coder (config DistanceAnglePointCoder, le90)."""
-    l, t, r, b = pred5[..., 0], pred5[..., 1], pred5[..., 2], pred5[..., 3]
-    x1 = points[..., 0] - l
-    y1 = points[..., 1] - t
-    x2 = points[..., 0] + r
-    y2 = points[..., 1] + b
-    return jnp.stack(
-        [(x1 + x2) * 0.5, (y1 + y2) * 0.5, x2 - x1, y2 - y1, pred5[..., 4]], axis=-1
-    )
+    `points` -> (cx, cy, w, h, theta). Exact distance2obb semantics
+    (distance_angle_point_coder.py:93-112): the centre offset
+    ((r-l)/2, (b-t)/2) is ROTATED by theta before being added to the point,
+    and the returned angle is normalised into le90. (The r3 differential
+    parity harness caught the earlier axis-aligned-centre deviation.)"""
+    l, t, r, b, a = (pred5[..., i] for i in range(5))
+    w = l + r
+    h = t + b
+    ox = (r - l) * 0.5
+    oy = (b - t) * 0.5
+    cos, sin = jnp.cos(a), jnp.sin(a)
+    cx = points[..., 0] + cos * ox - sin * oy
+    cy = points[..., 1] + sin * ox + cos * oy
+    return jnp.stack([cx, cy, w, h, norm_angle_le90(a)], axis=-1)
 
 
 def rbox_ltrb_targets(points: Array, rboxes: Array) -> Array:

@@ -309,7 +309,126 @@ def setup():
     fpn = importlib.import_module("refhbb.models.necks.fpn")
     ps_fpn = importlib.import_module("refhbb.models.necks.ps_fpn")
 
+    # ---------------- OBB (mmrotate) reference tree ----------------
+    # Loaded the same way: refobb.* packages point into /root/reference's
+    # OBB_TOD/mmrotate; absolute mmrotate.*/mmdet.* imports bridge to the
+    # stubs (or to already-loaded refhbb leaves — the OBB fork trains on
+    # top of the HBB fork's modified mmdet, e.g. FUSETopkAssigner).
+    _pkg("refobb", REF_OBB)
+    _pkg("refobb.core", REF_OBB + "/core")
+    _pkg("refobb.core.bbox", REF_OBB + "/core/bbox")
+    _pkg("refobb.core.bbox.coder", REF_OBB + "/core/bbox/coder")
+    _pkg("refobb.models", REF_OBB + "/models")
+    _pkg("refobb.models.dense_heads", REF_OBB + "/models/dense_heads")
+    _pkg("refobb.models.detectors", REF_OBB + "/models/detectors")
+
+    sys.modules["mmdet.core.bbox.builder"] = bbox_builder
+    sys.modules["mmdet.core.bbox"].builder = bbox_builder
+    base_coder = importlib.import_module("refhbb.core.bbox.coder.base_bbox_coder")
+    mmdet_core.BaseBBoxCoder = base_coder.BaseBBoxCoder
+
+    r_transforms = importlib.import_module("refobb.core.bbox.transforms")
+    _mod("mmrotate")
+    mmrotate_core = _mod("mmrotate.core")
+    _mod("mmrotate.core.bbox")
+    sys.modules["mmrotate.core.bbox.transforms"] = r_transforms
+    sys.modules["mmrotate.core.bbox"].transforms = r_transforms
+    r_bbox_builder = importlib.import_module("refobb.core.bbox.builder")
+    r_coder = importlib.import_module(
+        "refobb.core.bbox.coder.distance_angle_point_coder")
+
+    # iou_calculators: the real __init__ pulls the mmcv box_iou_rotated C
+    # extension; pre-seed an EMPTY module whose rbbox_overlaps is a cv2
+    # oracle (exact rotated IoU via rotatedRectangleIntersection — still
+    # independent of this repo's JAX code).
+    def rbbox_overlaps_cv2(b1, b2, mode="iou", is_aligned=False):
+        import cv2
+        import numpy as np
+
+        a = b1.detach().cpu().numpy()
+        b = b2.detach().cpu().numpy()
+        assert is_aligned and mode == "iou"
+        out = np.zeros(a.shape[0], np.float32)
+        for i in range(a.shape[0]):
+            r1 = ((float(a[i, 0]), float(a[i, 1])),
+                  (float(a[i, 2]), float(a[i, 3])), float(np.degrees(a[i, 4])))
+            r2 = ((float(b[i, 0]), float(b[i, 1])),
+                  (float(b[i, 2]), float(b[i, 3])), float(np.degrees(b[i, 4])))
+            ret, pts = cv2.rotatedRectangleIntersection(r1, r2)
+            inter = float(cv2.contourArea(pts)) if pts is not None else 0.0
+            union = float(a[i, 2] * a[i, 3] + b[i, 2] * b[i, 3]) - inter
+            out[i] = inter / max(union, 1e-6)
+        return torch.from_numpy(out)
+
+    riou = _mod("refobb.core.bbox.iou_calculators",
+                build_iou_calculator=iou_builder.build_iou_calculator,
+                rbbox_overlaps=rbbox_overlaps_cv2)
+
+    mmrotate_core.build_bbox_coder = r_bbox_builder.build_bbox_coder
+    mmrotate_core.multiclass_nms_rotated = _raise_stub("multiclass_nms_rotated")
+    mmrotate_core.rbbox2roi = r_transforms.rbbox2roi
+    mmrotate_core.norm_angle = r_transforms.norm_angle
+    mmrotate_core.obb2poly = r_transforms.obb2poly
+    mmrotate_core.poly2obb = r_transforms.poly2obb
+    sys.modules["refobb.core"].bbox.transforms = r_transforms
+
+    # MlvlPointGenerator (real HBB file) for RotatedAnchorFreeHead
+    _pkg("refhbb.core.anchor", REF_HBB + "/core/anchor")
+    point_generator = importlib.import_module("refhbb.core.anchor.point_generator")
+    _mod("mmdet.core.anchor")
+    sys.modules["mmdet.core.anchor.point_generator"] = point_generator
+    sys.modules["mmdet.core.anchor"].point_generator = point_generator
+
+    _mod("mmdet.models.dense_heads", AnchorFreeHead=anchor_free.AnchorFreeHead)
+
+    class _BBoxHead(nn.Module):
+        def __init__(self, *a, **k):
+            super().__init__()
+
+    _mod("mmdet.models.roi_heads")
+    _mod("mmdet.models.roi_heads.bbox_heads")
+    _mod("mmdet.models.roi_heads.bbox_heads.bbox_head", BBoxHead=_BBoxHead)
+
+    # visualization shims for the OBB data_augument_bank import block
+    _mod("mmdet.core.visualization", palette_val=lambda *a, **k: None)
+    _mod("mmdet.core.visualization.image",
+         draw_labels=lambda *a, **k: None, draw_masks=lambda *a, **k: None)
+    _mod("mmrotate.core.visualization")
+    _mod("mmrotate.core.visualization.palette",
+         get_palette=lambda *a, **k: None)
+
+    r_aug_bank = importlib.import_module(
+        "refobb.models.detectors.data_augument_bank")
+    sys.modules["mmdet.core.bbox.match_costs"] = mc_pkg
+    sys.modules["mmdet.core.bbox"].match_costs = mc_pkg
+    sys.modules["mmdet.models.builder"] = sys.modules["refhbb.models.builder"]
+    sys.modules["mmdet.models"].builder = sys.modules["refhbb.models.builder"]
+
+    def _accuracy(pred, target, topk=1):
+        maxk = topk if isinstance(topk, int) else max(topk)
+        _, pred_label = pred.topk(maxk, dim=1)
+        correct = pred_label.t().eq(target.view(1, -1).expand_as(pred_label.t()))
+        res = correct[:1].reshape(-1).float().sum(0) * 100.0 / max(pred.size(0), 1)
+        return res
+
+    sys.modules["mmdet.models"].losses.accuracy = _accuracy
+    sys.modules["mmdet.models.losses"].accuracy = _accuracy
+    _mod("refobb.models.builder", ROTATED_HEADS=_Registry("rotated_heads"),
+         HEADS=_Registry("rheads"),
+         build_loss=lambda cfg: _build_from_cfg(
+             cfg, sys.modules["refhbb.models.builder"].LOSSES),
+         build_roi_extractor=lambda cfg: types.SimpleNamespace(
+             num_inputs=1, cfg=cfg))
+    importlib.import_module("refobb.models.dense_heads.rotated_anchor_free_head")
+    r_head = importlib.import_module(
+        "refobb.models.dense_heads.rotated_fcos_head_p2rb_ts")
+
     ns = types.SimpleNamespace(
+        r_transforms=r_transforms,
+        r_coder=r_coder,
+        r_head=r_head,
+        r_aug_bank=r_aug_bank,
+        rbbox_overlaps_cv2=rbbox_overlaps_cv2,
         transforms=transforms,
         iou2d=iou2d,
         match_cost=match_cost,

@@ -22,10 +22,31 @@ B, IMG, G = 2, 64, 5
 
 
 def test_distance_angle_decode():
+    # distance2obb: centre offset rotated by theta (see parity test vs the
+    # reference coder in test_reference_parity_rotated.py)
     pts = jnp.array([[10.0, 20.0]])
     pred = jnp.array([[2.0, 3.0, 4.0, 5.0, 0.3]])
     out = np.asarray(distance_angle_decode(pts, pred))[0]
-    assert np.allclose(out, [11.0, 21.0, 6.0, 8.0, 0.3])
+    c, s = np.cos(0.3), np.sin(0.3)
+    assert np.allclose(out, [10 + c - s, 20 + s + c, 6.0, 8.0, 0.3], atol=1e-6)
+
+
+def test_distance_angle_encode_decode_roundtrip():
+    from point_teacher_tpu.ops.rotated import rbox_ltrb_targets
+
+    r = np.random.RandomState(3)
+    pts = jnp.asarray(r.uniform(40, 80, (6, 2)).astype(np.float32))
+    rb = jnp.asarray(np.concatenate(
+        [r.uniform(40, 80, (4, 2)), r.uniform(8, 30, (4, 2)),
+         r.uniform(-np.pi / 2 + 0.01, np.pi / 2 - 0.01, (4, 1))],
+        -1).astype(np.float32))
+    ltrb = rbox_ltrb_targets(pts, rb)  # [P, G, 4]
+    for g in range(4):
+        pred5 = jnp.concatenate(
+            [ltrb[:, g], jnp.broadcast_to(rb[g, 4], (6, 1))], -1)
+        dec = np.asarray(distance_angle_decode(pts, pred5))
+        np.testing.assert_allclose(dec, np.broadcast_to(np.asarray(rb[g]), (6, 5)),
+                                   rtol=1e-4, atol=1e-3)
 
 
 def test_norm_angle_le90():
