@@ -60,6 +60,34 @@ def make_visible_batch(rng, b, size, g, num_classes):
     return img, boxes, labels
 
 
+def make_visible_rbatch(rng, b, size, g, num_classes):
+    """Rotated variant of make_visible_batch: class-coded filled rotated
+    rectangles (cv2.fillPoly) on noise; returns (img, rboxes [B,G,5], labels)."""
+    import cv2
+
+    img = rng.uniform(0, 0.3, (b, size, size, 3)).astype(np.float32)
+    rboxes = np.zeros((b, g, 5), np.float32)
+    labels = np.zeros((b, g), np.int32)
+    for bi in range(b):
+        for gi in range(g):
+            w, h = rng.randint(10, 24, 2)
+            a = rng.uniform(-np.pi / 2, np.pi / 2)
+            cx = rng.randint(20, size - 20)
+            cy = rng.randint(20, size - 20)
+            c = rng.randint(0, num_classes)
+            val = 1.0 + (c + 1) / num_classes
+            pts = cv2.boxPoints(((float(cx), float(cy)), (float(w), float(h)),
+                                 float(np.degrees(a)))).astype(np.int32)
+            mask = np.zeros((size, size), np.uint8)
+            cv2.fillPoly(mask, [pts], 1)
+            m = mask.astype(bool)
+            img[bi, :, :, c % 3][m] = val
+            img[bi, :, :, (c + 1) % 3][m] = 2.0 - val
+            rboxes[bi, gi] = [cx, cy, w, h, a]
+            labels[bi, gi] = c
+    return img, rboxes, labels
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu", action="store_true")
@@ -69,7 +97,8 @@ def main():
     ap.add_argument("--gt", type=int, default=4)
     ap.add_argument("--classes", type=int, default=3)
     ap.add_argument("--lr", type=float, default=0.01)
-    ap.add_argument("--trainer", default="fcos", choices=["fcos", "point_teacher"])
+    ap.add_argument("--trainer", default="fcos",
+                    choices=["fcos", "point_teacher", "rotated"])
     ap.add_argument("--frozen-stages", type=int, default=1)
     # TS-loop stability knobs (collapse-mode sweeps)
     ap.add_argument("--ema-alpha", type=float, default=0.99,
@@ -131,38 +160,66 @@ def main():
             frozen_stages=args.frozen_stages,
             iters_per_epoch=10 ** 9),
     )
-    model = StudentFCOS(num_classes=cfg.num_classes,
-                        frozen_stages=args.frozen_stages, dtype=jnp.float32)
+    rotated = args.trainer == "rotated"
     rng = jax.random.PRNGKey(0)
-    params = model.init(rng, jnp.zeros((1, args.img, args.img, 3)),
-                        jnp.zeros((1, 7, 7, 256)), method=StudentFCOS.init_all)
-    tx = make_optimizer(params, cfg.optim)
-    state = create_train_state(params, tx, num_images=64, max_gt=args.gt, rng=rng)
-    if args.trainer == "fcos":
-        fstep = build_fcos_train_step(model, tx, cfg)
-        step = lambda s, b, phase1: fstep(s, b)  # noqa: E731
-    else:
-        step = build_train_step(model, tx, cfg)
+    if rotated:
+        from point_teacher_tpu.evalx.rgeometry import rbox_iou_np
+        from point_teacher_tpu.inference import build_rotated_inference_fn
+        from point_teacher_tpu.models.rotated_detector import StudentRotatedFCOS
+        from point_teacher_tpu.train.rsteps import build_rotated_train_step
 
-    infer = build_inference_fn(
-        model, InferenceCfg(nms_pre=256, score_thr=0.05, nms_iou=0.5, max_per_img=64),
-        args.img,
-    )
+        model = StudentRotatedFCOS(num_classes=cfg.num_classes,
+                                   num_stages=cfg.num_stages,
+                                   frozen_stages=args.frozen_stages,
+                                   dtype=jnp.float32)
+        params = model.init(rng, jnp.zeros((1, args.img, args.img, 3)),
+                            jnp.zeros((1, 7, 7, 256)),
+                            method=StudentRotatedFCOS.init_all)
+        tx = make_optimizer(params, cfg.optim)
+        state = create_train_state(params, tx, num_images=64, max_gt=args.gt, rng=rng)
+        step = build_rotated_train_step(model, tx, cfg)
+        infer = build_rotated_inference_fn(
+            model, InferenceCfg(nms_pre=256, score_thr=0.05, nms_iou=0.1,
+                                max_per_img=64), args.img)
+        make_batch = make_visible_rbatch
+        box_dim = 5
+        eval_kw = dict(iou_fn=rbox_iou_np,
+                       area_fn=lambda b: (b[:, 2] * b[:, 3] if len(b)
+                                          else np.zeros(0)))
+    else:
+        model = StudentFCOS(num_classes=cfg.num_classes,
+                            frozen_stages=args.frozen_stages, dtype=jnp.float32)
+        params = model.init(rng, jnp.zeros((1, args.img, args.img, 3)),
+                            jnp.zeros((1, 7, 7, 256)), method=StudentFCOS.init_all)
+        tx = make_optimizer(params, cfg.optim)
+        state = create_train_state(params, tx, num_images=64, max_gt=args.gt, rng=rng)
+        if args.trainer == "fcos":
+            fstep = build_fcos_train_step(model, tx, cfg)
+            step = lambda s, b, phase1: fstep(s, b)  # noqa: E731
+        else:
+            step = build_train_step(model, tx, cfg)
+        infer = build_inference_fn(
+            model, InferenceCfg(nms_pre=256, score_thr=0.05, nms_iou=0.5,
+                                max_per_img=64), args.img)
+        make_batch = make_visible_batch
+        box_dim = 4
+        eval_kw = {}
 
     def evaluate(p, n_batches=4):
         r = np.random.RandomState(999)
         gts, dets = [], []
         for _ in range(n_batches):
-            img, boxes, labels = make_visible_batch(r, args.batch, args.img,
-                                                    args.gt, args.classes)
+            img, boxes, labels = make_batch(r, args.batch, args.img,
+                                            args.gt, args.classes)
             d, l, v = infer(p, jnp.asarray(img), jnp.ones((args.batch, 4)))
             d, l, v = np.asarray(d), np.asarray(l), np.asarray(v)
             for bi in range(args.batch):
                 gts.append(dict(boxes=boxes[bi], labels=labels[bi].astype(np.int64)))
-                dets.append((d[bi, v[bi], :4], d[bi, v[bi], 4], l[bi, v[bi]]))
+                dets.append((d[bi, v[bi], :box_dim], d[bi, v[bi], box_dim],
+                             l[bi, v[bi]]))
         gt = dict(img_ids=list(range(len(gts))),
                   classes=[f"c{i}" for i in range(args.classes)], annotations=gts)
-        return COCOStyleEval(gt, dets).evaluate()["mAP"]
+        return COCOStyleEval(gt, dets, **eval_kw).evaluate()["mAP"]
 
     ap0 = evaluate(state.teacher_params if args.trainer != "fcos" else state.params)
     print(f"AP@0.25 before training: {ap0:.4f}")
@@ -171,7 +228,7 @@ def main():
     # is keyed by image id, so ids must always map to the same image
     r = np.random.RandomState(0)
     n_data_batches = 16
-    dataset = [make_visible_batch(r, args.batch, args.img, args.gt, args.classes)
+    dataset = [make_batch(r, args.batch, args.img, args.gt, args.classes)
                for _ in range(n_data_batches)]
     peak_phase2_ap = -1.0
     for i in range(args.steps):
