@@ -53,7 +53,12 @@ def fine_proposals(boxes_xyxy: Array, cfg: FineProposalCfg, img_hw) -> Tuple[Arr
         ],
         axis=-1,
     )  # [G, R2, 4] cxcywh
-    variants = [base]
+    # member order matches fine_proposals_from_cfg exactly (combo-major:
+    # [base, l, r, t, d] per ratio combo — syn_images_generator_v2.py:183-204
+    # concatenates on the variant dim then flattens); MIL is permutation-
+    # invariant over bag members up to top-k ties, but matching the order
+    # removes tie divergence vs the reference
+    variants = [base[:, :, None, :]]  # [G, R2, 1, 4]
     for ratio in cfg.shake_ratio or ():
         offs = jnp.asarray(
             [(-ratio, 0.0), (ratio, 0.0), (0.0, -ratio), (0.0, ratio)],
@@ -62,8 +67,9 @@ def fine_proposals(boxes_xyxy: Array, cfg: FineProposalCfg, img_hw) -> Tuple[Arr
         shift = base[:, :, None, 2:4] * offs[None, None]  # [G, R2, 4, 2]
         ctr = base[:, :, None, :2] + shift
         whx = jnp.broadcast_to(base[:, :, None, 2:4], ctr.shape)
-        variants.append(jnp.concatenate([ctr, whx], -1).reshape(g, -1, 4))
-    props = cxcywh_to_xyxy(jnp.concatenate(variants, axis=1))  # [G, U, 4]
+        variants.append(jnp.concatenate([ctr, whx], -1))
+    props = cxcywh_to_xyxy(
+        jnp.concatenate(variants, axis=2).reshape(g, -1, 4))  # [G, U, 4]
     h, w = img_hw
     img_box = jnp.asarray([[0.0, 0.0, w, h]], dtype=boxes_xyxy.dtype)
     iof = bbox_overlaps(props.reshape(-1, 4), img_box, mode="iof")[:, 0]

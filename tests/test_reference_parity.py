@@ -344,3 +344,39 @@ def test_delta_decode_matches_reference_coder():
     got = np.asarray(delta_decode(jnp.asarray(rois), jnp.asarray(deltas),
                                   (H, W)))
     np.testing.assert_allclose(got, ref, rtol=1e-4, atol=1e-3)
+
+
+# ------------------------------------------------------- fine proposal bags
+@pytest.mark.parametrize("base_ratios,shake_ratio,min_scale", [
+    ((1.0, 1.2, 1.3, 0.8, 0.6), None, 4.0),
+    ((1.0, 1.3, 0.8), (0.1,), 0.0),
+])
+def test_fine_proposals_match_reference(base_ratios, shake_ratio, min_scale):
+    """fine_proposals_from_cfg (syn_images_generator_v2.py:159-233, the MIL
+    bag generator) vs core/proposals.fine_proposals: same ratio grid order,
+    shake expansion, min_scale clamp and iof>0.7 in-image validity."""
+    from point_teacher_tpu.core.proposals import FineProposalCfg, fine_proposals
+
+    r = np.random.RandomState(11)
+    g = 9
+    cxy = r.uniform(0, 64, (g, 2)).astype(np.float32)
+    wh = r.uniform(3, 20, (g, 2)).astype(np.float32)
+    boxes = np.concatenate([cxy - wh / 2, cxy + wh / 2], -1).astype(np.float32)
+    cfg_ref = dict(gen_mode="refine", gen_proposal_mode="fix_gen",
+                   cut_mode=None, shake_ratio=list(shake_ratio) if shake_ratio
+                   else None, base_ratios=list(base_ratios),
+                   min_scale=min_scale)
+    img_meta = [dict(img_shape=(64, 64, 3))]
+    props_ref, valid_ref = REF.syn_gen.fine_proposals_from_cfg(
+        [_t(boxes)], cfg_ref, img_meta)
+    props, valid = fine_proposals(
+        jnp.asarray(boxes),
+        FineProposalCfg(base_ratios=base_ratios, shake_ratio=shake_ratio,
+                        min_scale=min_scale),
+        (64, 64))
+    u = props.shape[1]
+    np.testing.assert_allclose(np.asarray(props).reshape(-1, 4),
+                               props_ref[0].numpy(), rtol=1e-5, atol=1e-4)
+    np.testing.assert_array_equal(
+        np.asarray(valid).reshape(-1),
+        valid_ref[0].numpy().reshape(g, -1, 1).reshape(-1).astype(bool))

@@ -175,3 +175,44 @@ def test_rotated_point_sampling_matches_reference_distribution():
     assert np.abs(fr).max() <= 0.5 + 1e-3 and np.abs(fg).max() <= 0.5 + 1e-3
     np.testing.assert_allclose(fr.mean(0), fg.mean(0), atol=0.02)
     np.testing.assert_allclose(fr.std(0), fg.std(0), atol=0.02)
+
+
+def test_rotated_mil_bag_construction_matches_reference():
+    """MIL_gen_proposals_from_cfg (OBB syn_images_generator_v2.py:26-41):
+    bags jitter the axis-aligned (cx,cy,w,h) of the pseudo rbox while the
+    pseudo ANGLE is carried through unchanged; reference boxes repeat the
+    pseudo rbox. Mirrors train/mil.py mil_stage_rotated's ext_rb assembly."""
+    import importlib
+    import jax.numpy as jnp2
+
+    from point_teacher_tpu.core.proposals import FineProposalCfg, fine_proposals
+    from point_teacher_tpu.ops.boxes import cxcywh_to_xyxy, xyxy_to_cxcywh
+
+    r_syn = importlib.import_module("refobb.models.detectors.syn_images_generator_v2")
+    r = np.random.RandomState(5)
+    g = 6
+    rb = _rand_rboxes(r, g, spread=120.0)
+
+    cfg_ref = dict(gen_mode="refine", gen_proposal_mode="fix_gen",
+                   cut_mode=None, shake_ratio=None,
+                   base_ratios=[1.0, 1.2, 0.8], min_scale=4.0)
+    props_ref, valid_ref, refer_ref, real_ref = r_syn.MIL_gen_proposals_from_cfg(
+        [_t(rb[:, :2])], [_t(rb)], cfg_ref, [_t(rb)],
+        [dict(img_shape=(128, 128, 3))])
+
+    hbb = cxcywh_to_xyxy(jnp.asarray(rb[:, :4]))
+    props, valid = fine_proposals(
+        hbb, FineProposalCfg(base_ratios=(1.0, 1.2, 0.8), min_scale=4.0),
+        (128, 128))
+    u = props.shape[1]
+    ang = np.broadcast_to(rb[:, None, 4:5], (g, u, 1))
+    ours5 = np.concatenate(
+        [np.asarray(xyxy_to_cxcywh(props)), ang], -1).reshape(-1, 5)
+
+    np.testing.assert_allclose(ours5, props_ref[0].numpy(), rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(
+        np.asarray(valid).reshape(-1),
+        valid_ref[0].numpy().reshape(-1).astype(bool))
+    np.testing.assert_allclose(
+        np.broadcast_to(rb[:, None, :], (g, u, 5)).reshape(-1, 5),
+        refer_ref[0].numpy(), rtol=1e-5)
