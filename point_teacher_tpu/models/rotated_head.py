@@ -3,6 +3,13 @@
 Capability target: TS_P2RBRotatedFCOSHead conv towers + forward_single
 (rotated_fcos_head_p2rb_ts.py:356-387): conv_angle on the reg feature,
 optional learnable scale_angle (config scale_angle=True), norm_on_bbox decode.
+
+Unlike the HBB head (whose shipped config sets norm_cfg=None,
+conv_bias=True), the SODA-A config leaves the rotated head's norm at the
+class default GN(32) with conv_bias='auto' -> the towers are
+Conv(bias=False) + GroupNorm(32) + ReLU, and centerness sits on the CLS
+feature (centerness_on_reg defaults to False and the config does not set
+it). Both were caught by the r3 full-module instantiation parity test.
 """
 from __future__ import annotations
 
@@ -21,8 +28,9 @@ class RotatedFCOSHead(nn.Module):
     stacked_convs: int = 4
     stride: int = 8
     norm_on_bbox: bool = True
-    centerness_on_reg: bool = True
+    centerness_on_reg: bool = False
     is_scale_angle: bool = True
+    tower_gn: bool = True  # GN(32) towers (reference default norm_cfg)
     dtype: Any = jnp.float32
 
     @nn.compact
@@ -33,14 +41,23 @@ class RotatedFCOSHead(nn.Module):
         cls_feat = feat
         reg_feat = feat
         for i in range(self.stacked_convs):
-            cls_feat = nn.relu(
-                nn.Conv(self.feat_channels, (3, 3), padding=1, dtype=self.dtype,
-                        kernel_init=conv_init, name=f"cls_conv{i}")(cls_feat)
-            )
-            reg_feat = nn.relu(
-                nn.Conv(self.feat_channels, (3, 3), padding=1, dtype=self.dtype,
-                        kernel_init=conv_init, name=f"reg_conv{i}")(reg_feat)
-            )
+            cls_feat = nn.Conv(self.feat_channels, (3, 3), padding=1,
+                               dtype=self.dtype, kernel_init=conv_init,
+                               use_bias=not self.tower_gn,
+                               name=f"cls_conv{i}")(cls_feat)
+            reg_feat = nn.Conv(self.feat_channels, (3, 3), padding=1,
+                               dtype=self.dtype, kernel_init=conv_init,
+                               use_bias=not self.tower_gn,
+                               name=f"reg_conv{i}")(reg_feat)
+            if self.tower_gn:
+                cls_feat = nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                        dtype=self.dtype,
+                                        name=f"cls_gn{i}")(cls_feat)
+                reg_feat = nn.GroupNorm(num_groups=32, epsilon=1e-5,
+                                        dtype=self.dtype,
+                                        name=f"reg_gn{i}")(reg_feat)
+            cls_feat = nn.relu(cls_feat)
+            reg_feat = nn.relu(reg_feat)
         bias_init = nn.initializers.constant(-math.log((1 - 0.01) / 0.01))
         cls_score = nn.Conv(self.num_classes, (3, 3), padding=1, dtype=self.dtype,
                             kernel_init=conv_init, bias_init=bias_init,

@@ -120,6 +120,52 @@ def torch_fcos_head_to_flax(sd: Dict[str, Any], stacked: int = 4) -> Dict[str, A
     return out
 
 
+def torch_rotated_head_to_flax(sd: Dict[str, Any], stacked: int = 4) -> Dict[str, Any]:
+    """TS_P2RBRotatedFCOSHead dense towers (rotated_fcos_head_p2rb_ts.py
+    :189-243; SODA-A config leaves the default GN(32) norm -> Conv(bias=False)
+    + GN + ReLU towers, plus conv_angle and scale_angle)
+    -> models/rotated_head.py tree."""
+    out = {}
+    for i in range(stacked):
+        for side in ("cls", "reg"):
+            out[f"{side}_conv{i}"] = {
+                "kernel": _conv_w(sd, f"{side}_convs.{i}.conv.weight")}
+            out[f"{side}_gn{i}"] = {
+                "scale": _to_numpy(sd[f"{side}_convs.{i}.gn.weight"]),
+                "bias": _to_numpy(sd[f"{side}_convs.{i}.gn.bias"])}
+    for name in ("conv_cls", "conv_reg", "conv_centerness", "conv_angle"):
+        out[name] = {"kernel": _conv_w(sd, f"{name}.weight"),
+                     "bias": _to_numpy(sd[f"{name}.bias"])}
+    out["scale"] = _to_numpy(sd["scales.0.scale"])
+    out["scale_angle"] = _to_numpy(sd["scale_angle.scale"])
+    return out
+
+
+def load_torch_rotated_detector_into(params, state_dict: Dict[str, Any],
+                                     prefix: str = "", num_stages: int = 2):
+    """Rotated analog of load_torch_detector_into: port a reference
+    RotatedFCOS_Student state_dict (backbone + neck + neck_agg + rotated
+    bbox_head incl. the MIL FC stacks) into our flax params. Pass
+    prefix='teacher.'/'student.' for a RotatedFCOS_TS checkpoint branch."""
+    import jax
+
+    sd = {k.removeprefix(prefix): v for k, v in state_dict.items()
+          if k.startswith(prefix)}
+
+    def sub(p):
+        return {k.removeprefix(p): v for k, v in sd.items() if k.startswith(p)}
+
+    params = jax.tree_util.tree_map(lambda x: x, params)  # shallow copy
+    tree = params["params"]
+    _merge_into(tree["backbone"], torch_resnet50_to_flax(sub("backbone.")))
+    _merge_into(tree["neck"], torch_fpn_to_flax(sub("neck.")))
+    _merge_into(tree["neck_agg"], torch_psagg_to_flax(sub("neck_agg.")))
+    head_sd = sub("bbox_head.")
+    _merge_into(tree["bbox_head"], torch_rotated_head_to_flax(head_sd))
+    _merge_into(tree["mil_head"], torch_mil_to_flax(head_sd, num_stages))
+    return params
+
+
 def torch_mil_to_flax(sd: Dict[str, Any], num_stages: int = 1) -> Dict[str, Any]:
     """MIL FC stacks (fcos_head_p2b_ts.py:212-263: shared_fcs_reg/bag per
     stage + fc_reg/fc_cls/fc_ins) -> models/mil_head.py tree. fc_iou and

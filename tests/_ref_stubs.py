@@ -413,12 +413,31 @@ def setup():
 
     sys.modules["mmdet.models"].losses.accuracy = _accuracy
     sys.modules["mmdet.models.losses"].accuracy = _accuracy
+    # OBB losses register into the SAME registry the HBB losses use (the
+    # rotated head's build_loss resolves RotatedIoULoss / rotated DN_IoULoss
+    # through it; name collisions mirror the real install where mmrotate's
+    # ROTATED_LOSSES is a separate registry — build order here loads the
+    # rotated definitions last so rotated-head construction gets them)
     _mod("refobb.models.builder", ROTATED_HEADS=_Registry("rotated_heads"),
          HEADS=_Registry("rheads"),
+         ROTATED_LOSSES=sys.modules["refhbb.models.builder"].LOSSES,
          build_loss=lambda cfg: _build_from_cfg(
              cfg, sys.modules["refhbb.models.builder"].LOSSES),
          build_roi_extractor=lambda cfg: types.SimpleNamespace(
              num_inputs=1, cfg=cfg))
+    _pkg("refobb.models.losses", REF_OBB + "/models/losses")
+    importlib.import_module("refobb.models.losses.rotated_iou_loss")
+    # DistancePointBBoxCoder lives only in Supplement_config (the drop-in
+    # files the reference README installs into mmdet); the rotated head's
+    # default h_bbox_coder needs it at construction time
+    _pkg("refsupp", "/root/reference/Supplement_config")
+    _pkg("refsupp.bbox", "/root/reference/Supplement_config/bbox")
+    _pkg("refsupp.bbox.coder", "/root/reference/Supplement_config/bbox/coder")
+    sys.modules["refsupp.bbox.builder"] = bbox_builder
+    sys.modules["refsupp.bbox.transforms"] = transforms
+    sys.modules["refsupp.bbox.coder.base_bbox_coder"] = base_coder
+    importlib.import_module("refsupp.bbox.coder.distance_point_bbox_coder")
+
     importlib.import_module("refobb.models.dense_heads.rotated_anchor_free_head")
     r_head = importlib.import_module(
         "refobb.models.dense_heads.rotated_fcos_head_p2rb_ts")
