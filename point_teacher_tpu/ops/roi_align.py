@@ -272,6 +272,200 @@ def roi_align_window_matmul(
     return out.reshape(-1, out_size, out_size, c)[:n].astype(feat.dtype)
 
 
+def _axis_rel_weights(start, bin_sz, w0, out_size, size, window,
+                      sampling_ratio, dtype):
+    """Window-relative hat weights [..., out_size, window] for one axis.
+
+    `start`/`bin_sz` are [...]-shaped roi starts / bin sizes (feature cells);
+    `w0` is the (integer) window origin, broadcastable against them. mmcv
+    border rule is applied against the TRUE map (`size`), then coordinates are
+    clamped into the window's coverage (and to the real feature border inside
+    it) — identical semantics to roi_align_window_matmul."""
+    smax = ADAPTIVE_SMAX
+    if sampling_ratio > 0:
+        sn = jnp.full(start.shape, float(sampling_ratio), jnp.float32)
+        smax = sampling_ratio
+    else:
+        sn = jnp.clip(jnp.ceil(bin_sz), 1, smax).astype(jnp.float32)
+    k = jnp.arange(smax, dtype=jnp.float32)
+    offs = (k + 0.5) / sn[..., None]                      # [..., smax]
+    mask = k < sn[..., None]
+    bins = jnp.arange(out_size, dtype=jnp.float32)
+    coords = (start[..., None, None]
+              + (bins[:, None] + offs[..., None, :]) * bin_sz[..., None, None]
+              - 0.5)                                      # [..., out, smax]
+    valid = (coords >= -1.0) & (coords <= size * 1.0) & mask[..., None, :]
+    w0f = w0[..., None, None].astype(jnp.float32)
+    rel = jnp.clip(coords - w0f, 0.0, window - 1.0)
+    rel = jnp.minimum(rel, size - 1 - w0f)
+    cells = jnp.arange(window, dtype=jnp.float32)
+    wgt = jnp.maximum(0.0, 1.0 - jnp.abs(rel[..., None] - cells))
+    wgt = wgt * valid[..., None]
+    return (wgt.sum(axis=-2) / sn[..., None, None]).astype(dtype)
+
+
+@partial(jax.jit, static_argnames=("out_size", "sampling_ratio", "spatial_scale",
+                                   "chunk", "window"))
+def roi_align_grouped(
+    feat: Array,      # [H, W, C]
+    rois: Array,      # [G, U, 4] xyxy image coords
+    centers: Array,   # [G, 2] (cx, cy) image coords — shared window origin
+    out_size: int = 7,
+    spatial_scale: float = 1.0 / 8,
+    sampling_ratio: int = 0,
+    chunk: int = 32,
+    window: int = 16,
+) -> Array:
+    """RoIAlign for GROUP-structured rois: one shared `window`^2 feature patch
+    per group, separable matmuls for all U members against it.
+
+    The MIL bags are groups by construction (core/proposals.py
+    fine_proposals: every bag member shares the reference box's centre, only
+    w/h are ratio-scaled / shake-shifted by fractions of the box size), so one
+    window per GROUP replaces one gather per ROI. Measured on the v5e, the
+    per-roi window/full-map paths are GATHER-bound (~8.5 us per dynamic-slice
+    window, ~15 GB/s effective — NOTES_r3 gather race); grouping cuts the
+    gather count by U (25x on the shipped configs) and gives the member
+    contraction a tall MXU M dimension (U*out rows vs out).
+
+    Exactness: identical hat-weight math to roi_align_matmul; a member whose
+    sample grid escapes the group window clamps to the window border (the
+    same rule roi_align_window_matmul applies, asserted against the shipped
+    bag geometry in tests). Returns [G, U, out, out, C].
+    """
+    h, w, c = feat.shape
+    g, u = rois.shape[:2]
+    window = min(window, h, w)
+
+    x1 = rois[..., 0] * spatial_scale  # [G, U]
+    y1 = rois[..., 1] * spatial_scale
+    bin_w = jnp.maximum((rois[..., 2] - rois[..., 0]) * spatial_scale, 1e-6) / out_size
+    bin_h = jnp.maximum((rois[..., 3] - rois[..., 1]) * spatial_scale, 1e-6) / out_size
+
+    cx = centers[:, 0] * spatial_scale
+    cy = centers[:, 1] * spatial_scale
+    wy0 = jnp.clip(jnp.floor(cy - window / 2), 0, max(h - window, 0)).astype(jnp.int32)
+    wx0 = jnp.clip(jnp.floor(cx - window / 2), 0, max(w - window, 0)).astype(jnp.int32)
+
+    wy = _axis_rel_weights(y1, bin_h, wy0[:, None], out_size, h, window,
+                           sampling_ratio, feat.dtype)  # [G, U, out, window]
+    wx = _axis_rel_weights(x1, bin_w, wx0[:, None], out_size, w, window,
+                           sampling_ratio, feat.dtype)
+
+    inter_t = jnp.float32 if feat.dtype == jnp.float32 else feat.dtype
+
+    def one_chunk(args):
+        wy0_c, wx0_c, wy_c, wx_c = args
+
+        def extract(yo, xo):
+            return jax.lax.dynamic_slice(feat, (yo, xo, 0), (window, window, c))
+
+        win = jax.vmap(extract)(wy0_c, wx0_c)  # [cg, window, window, C]
+        tmp = jnp.einsum("guiy,gyxc->guixc", wy_c, win,
+                         preferred_element_type=inter_t)
+        return jnp.einsum("gujx,guixc->guijc", wx_c, tmp,
+                          preferred_element_type=jnp.float32)
+
+    if g <= chunk:
+        return one_chunk((wy0, wx0, wy, wx)).astype(feat.dtype)
+    pad = (-g) % chunk
+    wy0_p = jnp.pad(wy0, (0, pad)).reshape(-1, chunk)
+    wx0_p = jnp.pad(wx0, (0, pad)).reshape(-1, chunk)
+    wy_p = jnp.pad(wy, ((0, pad),) + ((0, 0),) * 3).reshape(-1, chunk, u, out_size, window)
+    wx_p = jnp.pad(wx, ((0, pad),) + ((0, 0),) * 3).reshape(-1, chunk, u, out_size, window)
+    out = jax.lax.map(one_chunk, (wy0_p, wx0_p, wy_p, wx_p))
+    return out.reshape(-1, u, out_size, out_size, c)[:g].astype(feat.dtype)
+
+
+@partial(jax.jit, static_argnames=("out_size", "sampling_ratio", "spatial_scale",
+                                   "chunk", "window"))
+def roi_align_rotated_grouped(
+    feat: Array,      # [H, W, C]
+    rrois: Array,     # [G, U, 5] (cx, cy, w, h, a) image coords
+    centers: Array,   # [G, 2] (cx, cy) image coords — shared window origin
+    out_size: int = 7,
+    spatial_scale: float = 1.0 / 8,
+    sampling_ratio: int = 2,
+    chunk: int = 16,
+    window: int = 16,
+) -> Array:
+    """Rotated RoIAlign with one shared window per GROUP of co-located rois
+    (the rotated MIL bags: same centre, ratio-scaled w/h, carried angle).
+
+    Per-sample weights factor as hat(y) (x) hat(x) exactly as in
+    roi_align_rotated_matmul; the member contraction becomes one
+    [U*ss*ss, window^2] x [window^2, C] MXU dot per group instead of a
+    [ss*ss, window^2] dot per roi, and the window gather count drops by U.
+    Border/validity rules identical to roi_align_rotated_matmul.
+    Returns [G, U, out, out, C].
+    """
+    h, w, c = feat.shape
+    g, u = rrois.shape[:2]
+    s = sampling_ratio
+    ss = out_size * s
+    window = min(window, h, w)
+
+    rcx = rrois[..., 0] * spatial_scale  # [G, U]
+    rcy = rrois[..., 1] * spatial_scale
+    bw = rrois[..., 2] * spatial_scale
+    bh = rrois[..., 3] * spatial_scale
+    ang = rrois[..., 4]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+    offs = (jnp.arange(s, dtype=feat.dtype) + 0.5) / s
+    bins = jnp.arange(out_size, dtype=feat.dtype)
+    frac = ((bins[:, None] + offs[None, :]) / out_size - 0.5).reshape(-1)  # [ss]
+
+    # absolute sample coords [G, U, ss(y), ss(x)]
+    bx = frac[None, None, None, :] * bw[..., None, None]
+    by = frac[None, None, :, None] * bh[..., None, None]
+    sx = cos[..., None, None] * bx - sin[..., None, None] * by + rcx[..., None, None] - 0.5
+    sy = sin[..., None, None] * bx + cos[..., None, None] * by + rcy[..., None, None] - 0.5
+
+    gx = centers[:, 0] * spatial_scale
+    gy = centers[:, 1] * spatial_scale
+    wy0 = jnp.clip(jnp.floor(gy - window / 2), 0, max(h - window, 0)).astype(jnp.int32)
+    wx0 = jnp.clip(jnp.floor(gx - window / 2), 0, max(w - window, 0)).astype(jnp.int32)
+
+    valid = (sx >= -1.0) & (sx <= w * 1.0) & (sy >= -1.0) & (sy <= h * 1.0)
+    ry = jnp.clip(sy - wy0[:, None, None, None], 0.0, window - 1.0)
+    rx = jnp.clip(sx - wx0[:, None, None, None], 0.0, window - 1.0)
+    ry = jnp.minimum(ry, (h - 1 - wy0)[:, None, None, None].astype(feat.dtype))
+    rx = jnp.minimum(rx, (w - 1 - wx0)[:, None, None, None].astype(feat.dtype))
+
+    k = jnp.arange(window, dtype=feat.dtype)
+    hy = jnp.maximum(0.0, 1.0 - jnp.abs(ry[..., None] - k))  # [G, U, ss, ss, W]
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(rx[..., None] - k))
+    hy = hy * valid[..., None]
+
+    mm_dtype = feat.dtype if feat.dtype == jnp.bfloat16 else jnp.float32
+    feat_c = feat.astype(mm_dtype)
+
+    def one_chunk(args):
+        wy0_c, wx0_c, hy_c, hx_c = args
+        cg = wy0_c.shape[0]
+
+        def extract(yo, xo):
+            return jax.lax.dynamic_slice(feat_c, (yo, xo, 0), (window, window, c))
+
+        win = jax.vmap(extract)(wy0_c, wx0_c)  # [cg, W, W, C]
+        wgt = (hy_c[..., :, None] * hx_c[..., None, :]).reshape(
+            cg, u * ss * ss, window * window).astype(mm_dtype)
+        out = jnp.einsum("gsp,gpc->gsc", wgt, win.reshape(cg, window * window, c),
+                         preferred_element_type=jnp.float32)
+        return out.reshape(cg, u, out_size, s, out_size, s, c).mean(axis=(3, 5))
+
+    if g <= chunk:
+        return one_chunk((wy0, wx0, hy, hx)).astype(feat.dtype)
+    pad = (-g) % chunk
+    wy0_p = jnp.pad(wy0, (0, pad)).reshape(-1, chunk)
+    wx0_p = jnp.pad(wx0, (0, pad)).reshape(-1, chunk)
+    hy_p = jnp.pad(hy, ((0, pad),) + ((0, 0),) * 4).reshape(-1, chunk, u, ss, ss, window)
+    hx_p = jnp.pad(hx, ((0, pad),) + ((0, 0),) * 4).reshape(-1, chunk, u, ss, ss, window)
+    out = jax.lax.map(one_chunk, (wy0_p, wx0_p, hy_p, hx_p))
+    return out.reshape(-1, u, out_size, out_size, c)[:g].astype(feat.dtype)
+
+
 # The MXU formulation is the default RoIAlign on the training path.
 roi_align = roi_align_matmul
 

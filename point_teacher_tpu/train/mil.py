@@ -20,9 +20,9 @@ from typing import Callable, NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..ops.boxes import bbox_overlaps
+from ..ops.boxes import bbox_overlaps, xyxy_to_cxcywh
 from ..ops.losses import dn_diou_loss, gfocal_loss
-from ..ops.roi_align import roi_align
+from ..ops.roi_align import roi_align, roi_align_grouped
 from ..core.proposals import FineProposalCfg, delta_decode, fine_proposals, negative_proposals
 
 Array = jnp.ndarray
@@ -101,17 +101,32 @@ def mil_stage_rotated(
     )
 
     def pool(feat, rr):
-        # MXU windowed rotated RoIAlign. window=16 cells = 128px coverage:
-        # exact while the rotated sampling grid fits the window — SODA-A
-        # objects top out near 45px (Normal split <= 2000px^2), so bags at
-        # ratio 1.3 sit far inside; larger (degenerate early-training) boxes
-        # clamp to the window border exactly as the previous 256px window
-        # did. Measured 90ms vs 160ms fwd+bwd per 4800 rois at the step
-        # geometry (NOTES_r3 pool race) — the pool is 71% of the step.
+        # per-roi windowed pool (negatives only: scattered, ungrouped).
+        # window=16 cells = 128px coverage — SODA-A objects top out near 45px
+        # (Normal split <= 2000px^2); larger boxes clamp to the window border.
         return roi_align_rotated_matmul(feat, rr, out_size=7, spatial_scale=1.0 / 8,
                                         chunk=128, window=16)
 
-    roi_feats = jax.vmap(pool)(mil_feat, ext_rb.reshape(b, -1, 5))
+    def gpool(feat, rr, centers):
+        # grouped shared-window rotated pool, single-shot (chunk=G: the
+        # lax.map chunk loop was the serializer — NOTES_r3 pool bisect). All
+        # bag members of one GT share its centre (fine_proposals ratio-scales
+        # w/h, the angle is carried), so one window gather serves the whole
+        # bag and the member contraction gets a tall MXU M (U*ss^2 rows).
+        # window=16 = 128px coverage is exact for rotated members up to ~73px
+        # per-axis AABB — beyond the whole SODA-A range (<=45px * ratio 1.3).
+        # Measured at the step geometry (B=4, G=48, U=25, 150x150x256 bf16):
+        # 16.8 ms fwd+bwd vs 60.2 for the per-roi windowed pool (NOTES_r3).
+        from ..ops.roi_align import roi_align_rotated_grouped
+
+        return roi_align_rotated_grouped(feat, rr, centers, out_size=7,
+                                         spatial_scale=1.0 / 8,
+                                         chunk=rr.shape[0], window=16)
+
+    gctr = rboxes[..., :2]  # [B, G, 2]
+    roi_feats = jax.vmap(gpool)(
+        mil_feat, ext_rb.reshape(b, g, u1 * u2, 5), gctr
+    ).reshape(b, g * u1 * u2, 7, 7, -1)
     n = roi_feats.shape[1]
     deltas = mil_regress(roi_feats.reshape(b * n, 7, 7, -1), stage)
     pred_hbb = delta_decode(ext.reshape(b * n, 4), deltas, hw)  # xyxy
@@ -140,7 +155,13 @@ def mil_stage_rotated(
         return MILStageOut(rboxes, loss_mil_bbox, jnp.zeros(()), coarse_bags_iou,
                            refine_bags_iou)
 
-    roi_feats_cls = jax.vmap(pool)(mil_feat, refined_rb.reshape(b, -1, 5))
+    pc = refined_rb.reshape(b, g, u1 * u2, 5)[..., :2]
+    pm = ext_valid.reshape(b, g, u1 * u2, 1).astype(pc.dtype)
+    pcnt = pm.sum(2)
+    pctr = jnp.where(pcnt > 0, (pc * pm).sum(2) / jnp.maximum(pcnt, 1.0), gctr)
+    roi_feats_cls = jax.vmap(gpool)(
+        mil_feat, refined_rb.reshape(b, g, u1 * u2, 5), pctr
+    ).reshape(b, n, 7, 7, -1)
     cls_score, ins_score = mil_classify(roi_feats_cls.reshape(b * n, 7, 7, -1), stage)
     c = cls_score.shape[-1]
     cls_score = cls_score.reshape(b, g, u1, u2, c)
@@ -255,12 +276,31 @@ def mil_stage(
 
     # --- denoising regression ---
     def pool(feat, rois):
-        # full-map separable matmul: measured FASTER in the real step than the
-        # windowed variant (the per-roi dynamic-slice windows and their
-        # scatter-add transpose serialize on TPU; the big dense einsum wins)
+        # per-roi fallback (negatives: scattered across the image, ungrouped)
         return roi_align(feat, rois, out_size=7, spatial_scale=1.0 / 8, chunk=roi_chunk)
 
-    roi_feats = jax.vmap(pool)(mil_feat, ext.reshape(b, -1, 4))  # [B, N, 7,7,C]
+    # single-shot when the [G, U, out, window, C] intermediate fits (~2.3 GB
+    # bf16 across the batch at the shipped U=25): the lax.map chunk loop was
+    # the serializer, not the gathers (NOTES_r3 pool bisect). U=125 (noisy
+    # stage-2) falls back to 20-group chunks.
+    gchunk = min(g, max(8, 2560 // (u1 * u2)))
+
+    def gpool(feat, rois, centers):
+        # grouped shared-window pool: the bags of one GT are co-located by
+        # construction (fine_proposals ratio-scales w/h and shake-shifts by
+        # <=0.1 box size), so one window gather serves all U members.
+        # window=32 (256px at stride 8) is exact for reference boxes up to
+        # ~100px — the AI-TOD object range with margin; larger (degenerate
+        # early-training pseudo) boxes clamp samples to the window border.
+        # Measured at the step geometry (B=8, G=100, U=25, 100x100x256 bf16):
+        # 31.5 ms fwd+bwd vs 53.6 for the full-map matmul (NOTES_r3).
+        return roi_align_grouped(feat, rois, centers, out_size=7,
+                                 spatial_scale=1.0 / 8, chunk=gchunk, window=32)
+
+    ctrs = xyxy_to_cxcywh(boxes)[..., :2]  # [B, G, 2] group window origins
+    roi_feats = jax.vmap(gpool)(
+        mil_feat, ext.reshape(b, g, u1 * u2, 4), ctrs
+    ).reshape(b, g * u1 * u2, 7, 7, -1)  # same member order as ext.reshape(b,-1,4)
     n = roi_feats.shape[1]
     deltas = mil_regress(roi_feats.reshape(b * n, 7, 7, -1), stage)
     pred = delta_decode(ext.reshape(b * n, 4), deltas, hw).reshape(b, g, u1, u2, 4)
@@ -287,7 +327,17 @@ def mil_stage(
                            refine_bags_iou)
 
     # --- bag classification on the refined bags ---
-    roi_feats_cls = jax.vmap(pool)(mil_feat, pred_d.reshape(b, -1, 4))
+    # refined bags stay grouped (DN-denoising pulls every member toward its
+    # reference box); window origin = masked mean of the refined centres so
+    # coverage follows the predictions, falling back to the GT centre when a
+    # group has no valid member
+    pc = xyxy_to_cxcywh(pred_d.reshape(b, g, u1 * u2, 4))[..., :2]
+    pm = ext_valid.reshape(b, g, u1 * u2, 1).astype(pc.dtype)
+    pcnt = pm.sum(2)
+    pctr = jnp.where(pcnt > 0, (pc * pm).sum(2) / jnp.maximum(pcnt, 1.0), ctrs)
+    roi_feats_cls = jax.vmap(gpool)(
+        mil_feat, pred_d.reshape(b, g, u1 * u2, 4), pctr
+    ).reshape(b, n, 7, 7, -1)
     cls_score, ins_score = mil_classify(roi_feats_cls.reshape(b * n, 7, 7, -1), stage)
     c = cls_score.shape[-1]
     cls_score = cls_score.reshape(b, g, u1, u2, c)
