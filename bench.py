@@ -54,7 +54,7 @@ def main():
     if args.batch is None:
         args.batch = 2 if args.quick else 4 if args.rotated else 8
     if args.scan is None:
-        args.scan = 1 if args.quick else 4 if args.rotated else 8
+        args.scan = 1 if args.quick else 8
 
     from point_teacher_tpu.core.proposals import FineProposalCfg
     from point_teacher_tpu.train.config import PointTeacherConfig, config_sodaa
