@@ -1,0 +1,251 @@
+"""Differential parity: dense FCOS target assignment + bag/focal losses vs the
+reference's OWN modules (loaded in place via tests/_ref_stubs.py).
+
+Covers the last big untested dense-path surface: _get_target_single (syn
+branch) and _get_target_pseudo_single (pseudo branch) of TS_P2BFCOSHead
+(fcos_head_p2b_ts.py:570-708) vs core/targets.py, with the head constructed
+under the SHIPPED aitodv2_point_teacher_0%.py train_cfg assigners; plus the
+head's gfocal_loss (:1074-1078) and py_sigmoid_focal_loss
+(losses/focal_loss.py:11) vs ops/losses.py.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax.numpy as jnp  # noqa: E402
+
+from point_teacher_tpu.core.targets import AssignerCfg, pseudo_targets, syn_targets  # noqa: E402
+from point_teacher_tpu.ops.losses import gfocal_loss, sigmoid_focal_loss  # noqa: E402
+
+from _ref_stubs import setup  # noqa: E402
+
+REF = setup()
+
+NUM_CLASSES = 8
+
+# shipped aitodv2_point_teacher_0%.py train_cfg (:101-126)
+TRAIN_CFG = dict(
+    assigner=dict(
+        type="TopkAssigner", num_pre=1, topk=1,
+        cls_cost=dict(type="FocalLossCost", weight=1.0),
+        reg_cost=dict(type="PointCost", mode="L1", weight=1.0)),
+    pseudo_assigner=dict(
+        type="TopkAssigner", num_pre=3, topk=3,
+        cls_cost=dict(type="FocalLossCost", weight=0.0),
+        reg_cost=dict(type="PointCost", mode="L1", weight=1.0)),
+    syn_assigner=dict(
+        type="TopkAssigner", num_pre=3, topk=3,
+        cls_cost=dict(type="FocalLossCost", weight=0.0),
+        reg_cost=dict(type="PointCost", mode="L1", weight=1.0)),
+    fuse_assigner=dict(
+        type="FUSETopkAssigner", num_pre=5, topk=3,
+        cls_cost=dict(type="FocalLossCost", weight=1.0),
+        reg_cost=dict(type="PointCost", mode="L1", weight=1.0),
+        location_cost=dict(type="InsiderCost", weight=1.0)),
+)
+
+SYN_CFG = AssignerCfg(num_pre=3, topk=3, cls_weight=0.0, reg_weight=1.0)
+CLS_CFG = AssignerCfg(num_pre=1, topk=1, cls_weight=1.0, reg_weight=1.0)
+PSEUDO_CFG = AssignerCfg(num_pre=3, topk=3, cls_weight=0.0, reg_weight=1.0)
+
+
+@pytest.fixture(scope="module")
+def torch_head():
+    torch.manual_seed(0)
+    return REF.fcos_head.TS_P2BFCOSHead(
+        num_classes=NUM_CLASSES, in_channels=256, stacked_convs=1,
+        feat_channels=32, strides=[8], norm_cfg=None, conv_bias=True,
+        norm_on_bbox=True, centerness_on_reg=True, center_sampling=True,
+        mil_stack_conv=0, num_stages=1, train_cfg=TRAIN_CFG,
+        bbox_roi_extractor=dict(type="SingleRoIExtractor"),
+    )
+
+
+def _grid_points(n=20, stride=8.0):
+    ys, xs = np.mgrid[0:n, 0:n].astype(np.float32)
+    pts = np.stack([xs.ravel() * stride + stride / 2,
+                    ys.ravel() * stride + stride / 2], -1)
+    return pts  # [P, 2]
+
+
+def _random_case(seed, g=7, img=160.0):
+    r = np.random.RandomState(seed)
+    pts = _grid_points()
+    # sub-pixel jitter on the GTs de-ties the L1 stage-1 costs (the
+    # reference's torch.topk tie order is unspecified on exact grids)
+    cx = r.uniform(10, img - 10, g) + r.uniform(0.05, 0.31, g)
+    cy = r.uniform(10, img - 10, g) + r.uniform(0.07, 0.29, g)
+    bw = r.uniform(6, 40, g)
+    bh = r.uniform(6, 40, g)
+    boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2],
+                     -1).astype(np.float32)
+    cls_logits = r.randn(pts.shape[0], NUM_CLASSES).astype(np.float32)
+    labels = r.randint(0, NUM_CLASSES, g).astype(np.int64)
+    return pts, boxes, cls_logits, labels
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2])
+def test_syn_targets_match_reference(torch_head, seed):
+    pts, boxes, cls_logits, _ = _random_case(seed)
+    with torch.no_grad():
+        t_labels, t_bt = torch_head._get_target_single(
+            torch.from_numpy(boxes), torch.from_numpy(cls_logits), None, None,
+            points=torch.from_numpy(pts), num_points_per_lvl=[pts.shape[0]])
+
+    j_labels, j_bt = syn_targets(
+        jnp.asarray(pts), jnp.asarray(cls_logits), jnp.asarray(boxes),
+        jnp.ones(boxes.shape[0], bool), NUM_CLASSES, SYN_CFG)
+
+    np.testing.assert_array_equal(np.asarray(j_labels), t_labels.numpy())
+    pos = t_labels.numpy() != NUM_CLASSES
+    assert pos.any()
+    # reference leaves bg rows pointing at GT row 0 — same quirk our side
+    # keeps, so ALL rows must agree
+    np.testing.assert_allclose(np.asarray(j_bt), t_bt.numpy(), rtol=1e-5,
+                               atol=1e-4)
+
+
+@pytest.mark.parametrize("seed", [3, 4])
+def test_pseudo_targets_match_reference(torch_head, seed):
+    pts, pseudo_boxes, cls_logits, labels = _random_case(seed)
+    r = np.random.RandomState(seed + 100)
+    g = pseudo_boxes.shape[0]
+    gt_points = np.stack(
+        [r.uniform(10, 150, g) + r.uniform(0.05, 0.3, g),
+         r.uniform(10, 150, g) + r.uniform(0.05, 0.3, g)], -1).astype(np.float32)
+
+    with torch.no_grad():
+        t_lreg, t_bt, t_labels, t_w = torch_head._get_target_pseudo_single(
+            torch.from_numpy(gt_points), torch.from_numpy(labels),
+            torch.from_numpy(gt_points), torch.from_numpy(labels),
+            torch.from_numpy(pseudo_boxes),
+            torch.from_numpy(cls_logits), None, None,
+            {"ori_filename": "x.png"}, None, None,
+            points=torch.from_numpy(pts), num_points_per_lvl=[pts.shape[0]],
+            burn_in_step1=False)
+
+    j_labels, j_lreg, j_bt = pseudo_targets(
+        jnp.asarray(pts), jnp.asarray(cls_logits), jnp.asarray(gt_points),
+        jnp.asarray(labels.astype(np.int32)), jnp.ones(g, bool),
+        jnp.asarray(pseudo_boxes), jnp.asarray(labels.astype(np.int32)),
+        jnp.ones(g, bool), NUM_CLASSES, CLS_CFG, PSEUDO_CFG)
+
+    np.testing.assert_array_equal(np.asarray(j_labels), t_labels.numpy())
+    np.testing.assert_array_equal(np.asarray(j_lreg), t_lreg.numpy())
+    np.testing.assert_allclose(np.asarray(j_bt), t_bt.numpy(), rtol=1e-5,
+                               atol=1e-4)
+    assert (t_w.numpy() == 1.0).all()  # reference weights are all-ones
+
+
+def test_gfocal_loss_matches_reference(torch_head):
+    r = np.random.RandomState(7)
+    p = r.uniform(0.01, 0.99, (40, NUM_CLASSES)).astype(np.float32)
+    q = (r.uniform(0, 1, (40, NUM_CLASSES)) < 0.3).astype(np.float32)
+    w = r.uniform(0, 1, (40, 1)).astype(np.float32)
+    with torch.no_grad():
+        want = torch_head.gfocal_loss(torch.from_numpy(p), torch.from_numpy(q),
+                                      torch.from_numpy(w)).numpy()
+    got = np.asarray(gfocal_loss(jnp.asarray(p), jnp.asarray(q), jnp.asarray(w)))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-5)
+
+
+def test_sigmoid_focal_loss_matches_reference():
+    from refhbb.models.losses.focal_loss import py_sigmoid_focal_loss
+
+    r = np.random.RandomState(8)
+    pred = r.randn(60, NUM_CLASSES).astype(np.float32)
+    target = np.eye(NUM_CLASSES, dtype=np.float32)[
+        r.randint(0, NUM_CLASSES, 60)]
+    with torch.no_grad():
+        want = py_sigmoid_focal_loss(
+            torch.from_numpy(pred), torch.from_numpy(target),
+            gamma=2.0, alpha=0.25, reduction="none").numpy()
+    got = np.asarray(sigmoid_focal_loss(jnp.asarray(pred), jnp.asarray(target),
+                                        gamma=2.0, alpha=0.25))
+    np.testing.assert_allclose(got, want, rtol=1e-5, atol=1e-6)
+
+
+# ---------------- rotated (OBB fork) ----------------
+
+@pytest.fixture(scope="module")
+def torch_rhead():
+    torch.manual_seed(1)
+    return REF.r_head.TS_P2RBRotatedFCOSHead(
+        num_classes=9, in_channels=256, stacked_convs=1, feat_channels=32,
+        strides=[8], center_sampling=True, norm_on_bbox=True,
+        separate_angle=False, scale_angle=True, mil_stack_conv=0,
+        num_stages=2, train_cfg=TRAIN_CFG,
+        bbox_coder=dict(type="DistanceAnglePointCoder", angle_version="le90"),
+        bbox_roi_extractor=dict(type="RotatedSingleRoIExtractor"),
+    )
+
+
+def _random_rcase(seed, g=6, img=160.0):
+    r = np.random.RandomState(seed)
+    pts = _grid_points()
+    cx = r.uniform(10, img - 10, g) + r.uniform(0.05, 0.31, g)
+    cy = r.uniform(10, img - 10, g) + r.uniform(0.07, 0.29, g)
+    bw = r.uniform(6, 40, g)
+    bh = r.uniform(6, 40, g)
+    ang = r.uniform(-np.pi / 2, np.pi / 2, g)
+    rboxes = np.stack([cx, cy, bw, bh, ang], -1).astype(np.float32)
+    cls_logits = r.randn(pts.shape[0], 9).astype(np.float32)
+    labels = r.randint(0, 9, g).astype(np.int64)
+    return pts, rboxes, cls_logits, labels
+
+
+@pytest.mark.parametrize("seed", [10, 11])
+def test_rotated_syn_targets_match_reference(torch_rhead, seed):
+    from point_teacher_tpu.core.rtargets import syn_targets_rotated
+
+    pts, rboxes, cls_logits, _ = _random_rcase(seed)
+    with torch.no_grad():
+        t_labels, t_bt, t_ang = torch_rhead._get_target_single(
+            torch.from_numpy(rboxes), torch.from_numpy(cls_logits), None, None,
+            points=torch.from_numpy(pts), num_points_per_lvl=[pts.shape[0]])
+
+    j_labels, j_bt, j_ang = syn_targets_rotated(
+        jnp.asarray(pts), jnp.asarray(cls_logits), jnp.asarray(rboxes),
+        jnp.ones(rboxes.shape[0], bool), 9, SYN_CFG)
+
+    np.testing.assert_array_equal(np.asarray(j_labels), t_labels.numpy())
+    np.testing.assert_allclose(np.asarray(j_bt), t_bt.numpy(), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_ang), t_ang.numpy(), rtol=1e-5,
+                               atol=1e-6)
+
+
+@pytest.mark.parametrize("seed", [12])
+def test_rotated_pseudo_targets_match_reference(torch_rhead, seed):
+    from point_teacher_tpu.core.rtargets import pseudo_targets_rotated
+
+    pts, prboxes, cls_logits, labels = _random_rcase(seed)
+    r = np.random.RandomState(seed + 50)
+    g = prboxes.shape[0]
+    gt_points = np.stack(
+        [r.uniform(10, 150, g) + r.uniform(0.05, 0.3, g),
+         r.uniform(10, 150, g) + r.uniform(0.05, 0.3, g)], -1).astype(np.float32)
+
+    with torch.no_grad():
+        t_lreg, t_bt, t_ang, t_labels, t_w = torch_rhead._get_target_pseudo_single(
+            torch.from_numpy(gt_points), torch.from_numpy(labels),
+            torch.from_numpy(gt_points), torch.from_numpy(labels),
+            torch.from_numpy(prboxes),
+            torch.from_numpy(cls_logits), None, None,
+            {"ori_filename": "x.png"}, None, None,
+            points=torch.from_numpy(pts), num_points_per_lvl=[pts.shape[0]],
+            burn_in_step1=False)
+
+    j_labels, j_lreg, j_bt, j_ang = pseudo_targets_rotated(
+        jnp.asarray(pts), jnp.asarray(cls_logits), jnp.asarray(gt_points),
+        jnp.asarray(labels.astype(np.int32)), jnp.ones(g, bool),
+        jnp.asarray(prboxes), jnp.ones(g, bool), 9, CLS_CFG, PSEUDO_CFG)
+
+    np.testing.assert_array_equal(np.asarray(j_labels), t_labels.numpy())
+    np.testing.assert_array_equal(np.asarray(j_lreg), t_lreg.numpy())
+    np.testing.assert_allclose(np.asarray(j_bt), t_bt.numpy(), rtol=1e-4,
+                               atol=1e-4)
+    np.testing.assert_allclose(np.asarray(j_ang), t_ang.numpy(), rtol=1e-5,
+                               atol=1e-6)
+    assert (t_w.numpy() == 1.0).all()
