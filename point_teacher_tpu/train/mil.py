@@ -34,11 +34,39 @@ class MILStageOut(NamedTuple):
     loss_mil_bags: Array
     coarse_bags_iou: Array
     refine_bags_iou: Array
+    # fraction of valid refined bag members whose sample grid fits the shared
+    # group window of the grouped cls pool (1.0 = the window clamp never
+    # bites and the grouped pool is exactly the per-roi pool). 1.0 when the
+    # cls pool did not run (with_bags_loss=False).
+    cls_pool_coverage: Array = 1.0
 
 
 def _masked_mean(x: Array, mask: Array) -> Array:
     denom = jnp.maximum(mask.sum(), 1)
     return jnp.where(mask, x, 0.0).sum() / denom
+
+
+def _group_window_coverage(boxes_xyxy, valid, centers, feat_hw, window,
+                           scale=1.0 / 8):
+    """Fraction of valid members whose bilinear sample support fits the shared
+    group window (conservative 2-cell margin). In-map extent only: at the map
+    border the window clips exactly like the map does, so out-of-map samples
+    are handled identically by the grouped and per-roi pools."""
+    h, w = feat_hw
+    cy = centers[..., 1] * scale
+    cx = centers[..., 0] * scale
+    wy0 = jnp.clip(jnp.floor(cy - window / 2), 0, max(h - window, 0))
+    wx0 = jnp.clip(jnp.floor(cx - window / 2), 0, max(w - window, 0))
+    x1 = boxes_xyxy[..., 0] * scale
+    y1 = boxes_xyxy[..., 1] * scale
+    x2 = boxes_xyxy[..., 2] * scale
+    y2 = boxes_xyxy[..., 3] * scale
+    fit = ((jnp.maximum(y1 - 2, 0) >= wy0[..., None])
+           & (jnp.minimum(y2 + 2, h - 1) <= wy0[..., None] + window - 1)
+           & (jnp.maximum(x1 - 2, 0) >= wx0[..., None])
+           & (jnp.minimum(x2 + 2, w - 1) <= wx0[..., None] + window - 1))
+    denom = jnp.maximum(valid.sum(), 1)
+    return jnp.where(valid, fit, False).sum() / denom
 
 
 def mil_stage_rotated(
@@ -155,12 +183,23 @@ def mil_stage_rotated(
         return MILStageOut(rboxes, loss_mil_bbox, jnp.zeros(()), coarse_bags_iou,
                            refine_bags_iou)
 
-    pc = refined_rb.reshape(b, g, u1 * u2, 5)[..., :2]
+    rb5 = refined_rb.reshape(b, g, u1 * u2, 5)
+    pc = rb5[..., :2]
     pm = ext_valid.reshape(b, g, u1 * u2, 1).astype(pc.dtype)
     pcnt = pm.sum(2)
     pctr = jnp.where(pcnt > 0, (pc * pm).sum(2) / jnp.maximum(pcnt, 1.0), gctr)
+    # member AABB (rotated extent) for the window-coverage diagnostic
+    hw_x = (jnp.abs(rb5[..., 2] * jnp.cos(rb5[..., 4]))
+            + jnp.abs(rb5[..., 3] * jnp.sin(rb5[..., 4]))) / 2
+    hw_y = (jnp.abs(rb5[..., 2] * jnp.sin(rb5[..., 4]))
+            + jnp.abs(rb5[..., 3] * jnp.cos(rb5[..., 4]))) / 2
+    aabb = jnp.stack([rb5[..., 0] - hw_x, rb5[..., 1] - hw_y,
+                      rb5[..., 0] + hw_x, rb5[..., 1] + hw_y], -1)
+    cls_pool_coverage = _group_window_coverage(
+        aabb, ext_valid.reshape(b, g, u1 * u2), pctr,
+        (mil_feat.shape[1], mil_feat.shape[2]), window=16)
     roi_feats_cls = jax.vmap(gpool)(
-        mil_feat, refined_rb.reshape(b, g, u1 * u2, 5), pctr
+        mil_feat, rb5, pctr
     ).reshape(b, n, 7, 7, -1)
     cls_score, ins_score = mil_classify(roi_feats_cls.reshape(b * n, 7, 7, -1), stage)
     c = cls_score.shape[-1]
@@ -221,7 +260,7 @@ def mil_stage_rotated(
     refined = jnp.where(boxes_valid[..., None], refined, rboxes)
 
     return MILStageOut(refined, loss_mil_bbox, loss_mil_bags, coarse_bags_iou,
-                       refine_bags_iou)
+                       refine_bags_iou, cls_pool_coverage)
 
 
 def mil_stage(
@@ -335,6 +374,9 @@ def mil_stage(
     pm = ext_valid.reshape(b, g, u1 * u2, 1).astype(pc.dtype)
     pcnt = pm.sum(2)
     pctr = jnp.where(pcnt > 0, (pc * pm).sum(2) / jnp.maximum(pcnt, 1.0), ctrs)
+    cls_pool_coverage = _group_window_coverage(
+        pred_d.reshape(b, g, u1 * u2, 4), ext_valid.reshape(b, g, u1 * u2),
+        pctr, (mil_feat.shape[1], mil_feat.shape[2]), window=32)
     roi_feats_cls = jax.vmap(gpool)(
         mil_feat, pred_d.reshape(b, g, u1 * u2, 4), pctr
     ).reshape(b, n, 7, 7, -1)
@@ -392,4 +434,4 @@ def mil_stage(
     refined = jnp.where(boxes_valid[..., None], refined, boxes)
 
     return MILStageOut(refined, loss_mil_bbox, loss_mil_bags, coarse_bags_iou,
-                       refine_bags_iou)
+                       refine_bags_iou, cls_pool_coverage)

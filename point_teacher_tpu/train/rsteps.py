@@ -71,6 +71,7 @@ def _run_rmil_stages(model, params, mil_feat, rboxes, labels, valid, real_rboxes
         metrics[f"stage{stage}_loss_mil_bbox"] = out.loss_mil_bbox * cfg.alpha[0]
         metrics[f"stage{stage}_coarse_bags_iou"] = out.coarse_bags_iou
         metrics[f"stage{stage}_refine_bags_iou"] = out.refine_bags_iou
+        metrics[f"stage{stage}_cls_pool_coverage"] = out.cls_pool_coverage
         if with_bags:
             metrics[f"stage{stage}_loss_mil_bags"] = out.loss_mil_bags * cfg.alpha[1]
             total = total + out.loss_mil_bbox * cfg.alpha[0] + out.loss_mil_bags * cfg.alpha[1]

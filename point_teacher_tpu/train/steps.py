@@ -104,6 +104,7 @@ def _run_mil_stages(model, params, mil_feat, boxes, labels, valid, real_boxes,
         metrics[f"{prefix}stage{stage}_loss_mil_bbox"] = out.loss_mil_bbox * cfg.alpha[0]
         metrics[f"{prefix}stage{stage}_coarse_bags_iou"] = out.coarse_bags_iou
         metrics[f"{prefix}stage{stage}_refine_bags_iou"] = out.refine_bags_iou
+        metrics[f"{prefix}stage{stage}_cls_pool_coverage"] = out.cls_pool_coverage
         if with_bags:
             metrics[f"{prefix}stage{stage}_loss_mil_bags"] = out.loss_mil_bags * cfg.alpha[1]
             total = total + out.loss_mil_bbox * cfg.alpha[0] + out.loss_mil_bags * cfg.alpha[1]

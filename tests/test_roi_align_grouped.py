@@ -169,3 +169,21 @@ def test_grouped_chunk_invariance_and_grad():
     ga = jax.grad(loss_g)(feat)
     go = jax.grad(loss_o)(feat)
     np.testing.assert_allclose(np.asarray(ga), np.asarray(go), rtol=1e-4, atol=1e-4)
+
+
+def test_group_window_coverage_diagnostic():
+    """coverage == 1 for shipped-geometry bags; < 1 when a member escapes."""
+    from point_teacher_tpu.train.mil import _group_window_coverage
+
+    rng = np.random.RandomState(6)
+    props, centers = _shipped_bags(rng, g=4, img=400.0, max_box=60.0)
+    boxes = props[None]  # [1, G, U, 4]
+    ctr = centers[None]
+    valid = jnp.ones(boxes.shape[:-1], bool)
+    cov = _group_window_coverage(boxes, valid, ctr, (50, 50), window=32)
+    assert float(cov) == 1.0
+
+    # teleport one member 300px away from its group centre
+    escaped = boxes.at[0, 0, 0].set(boxes[0, 0, 0] + 300.0)
+    cov2 = _group_window_coverage(escaped, valid, ctr, (50, 50), window=32)
+    assert float(cov2) < 1.0
