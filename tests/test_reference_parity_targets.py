@@ -249,3 +249,91 @@ def test_rotated_pseudo_targets_match_reference(torch_rhead, seed):
     np.testing.assert_allclose(np.asarray(j_ang), t_ang.numpy(), rtol=1e-5,
                                atol=1e-6)
     assert (t_w.numpy() == 1.0).all()
+
+
+# ---------------- end-to-end dense losses ----------------
+
+def _dense_preds(seed, b=2, n=20, c=NUM_CLASSES):
+    r = np.random.RandomState(seed)
+    cls = r.randn(b, c, n, n).astype(np.float32)
+    bbox = (np.abs(r.randn(b, 4, n, n)) * 8 + 0.5).astype(np.float32)
+    ctr = r.randn(b, 1, n, n).astype(np.float32)
+    return cls, bbox, ctr
+
+
+def _nhwc_flat(x):
+    """[B, C, H, W] -> [B, H*W, C] (reference permute+reshape order)."""
+    return jnp.asarray(x.transpose(0, 2, 3, 1).reshape(x.shape[0], -1, x.shape[1]))
+
+
+def test_syn_branch_loss_matches_reference(torch_head):
+    """head.loss (fcos_head_p2b_ts.py:470-534) vs train.dense_losses
+    syn_branch_loss: DIoU weighted by centerness targets + centerness BCE,
+    including num_pos / centerness_denorm normalisation."""
+    from point_teacher_tpu.train.dense_losses import DenseLossCfg, syn_branch_loss
+
+    pts = _grid_points()
+    cls, bbox, ctr = _dense_preds(20)
+    cases = [_random_case(s)[1] for s in (20, 21)]  # per-image gt boxes
+
+    with torch.no_grad():
+        t_bbox_loss, t_ctr_loss = torch_head.loss(
+            [torch.from_numpy(cls)], [torch.from_numpy(bbox)],
+            [torch.from_numpy(ctr)], [torch.from_numpy(pts)],
+            [torch.from_numpy(x) for x in cases],
+            [{"ori_filename": "a.png"}, {"ori_filename": "b.png"}])
+
+    cfg = DenseLossCfg(num_classes=NUM_CLASSES)
+    gb = jnp.asarray(np.stack(cases))
+    j_bbox_loss, j_ctr_loss = syn_branch_loss(
+        _nhwc_flat(cls), _nhwc_flat(bbox), _nhwc_flat(ctr)[..., 0],
+        jnp.asarray(pts), gb, jnp.ones(gb.shape[:2], bool), cfg)
+
+    np.testing.assert_allclose(float(j_bbox_loss), float(t_bbox_loss),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(j_ctr_loss), float(t_ctr_loss),
+                               rtol=1e-5, atol=1e-6)
+
+
+def test_pseudo_branch_loss_matches_reference(torch_head):
+    """head.loss_pseudo (fcos_head_p2b_ts.py:380-465) vs pseudo_branch_loss:
+    focal cls with all-ones weights / num_pos, DN-DIoU (hyper 0.1) with
+    centerness weighting, centerness BCE."""
+    from point_teacher_tpu.train.dense_losses import DenseLossCfg, pseudo_branch_loss
+
+    pts = _grid_points()
+    cls, bbox, ctr = _dense_preds(30)
+    r = np.random.RandomState(31)
+    gts, pbs, labs = [], [], []
+    for s in (30, 31):
+        _, boxes, _, labels = _random_case(s)
+        g = boxes.shape[0]
+        gp = np.stack([r.uniform(10, 150, g) + r.uniform(0.05, 0.3, g),
+                       r.uniform(10, 150, g) + r.uniform(0.05, 0.3, g)],
+                      -1).astype(np.float32)
+        gts.append(gp); pbs.append(boxes); labs.append(labels)
+
+    with torch.no_grad():
+        t_cls, t_bbox, t_ctr = torch_head.loss_pseudo(
+            [torch.from_numpy(cls)], [torch.from_numpy(bbox)],
+            [torch.from_numpy(ctr)], [torch.from_numpy(pts)],
+            [torch.from_numpy(x) for x in gts],
+            [torch.from_numpy(x) for x in labs],
+            [torch.from_numpy(x) for x in gts],
+            [torch.from_numpy(x) for x in labs],
+            [torch.from_numpy(x) for x in pbs],
+            [None, None],
+            [{"ori_filename": "a.png"}, {"ori_filename": "b.png"}],
+            [None, None], False)
+
+    cfg = DenseLossCfg(num_classes=NUM_CLASSES)
+    j_cls, j_bbox, j_ctr = pseudo_branch_loss(
+        _nhwc_flat(cls), _nhwc_flat(bbox), _nhwc_flat(ctr)[..., 0],
+        jnp.asarray(pts), jnp.asarray(np.stack(gts)),
+        jnp.asarray(np.stack(labs).astype(np.int32)),
+        jnp.ones((2, gts[0].shape[0]), bool), jnp.asarray(np.stack(pbs)),
+        jnp.ones((2, pbs[0].shape[0]), bool), cfg)
+
+    np.testing.assert_allclose(float(j_cls), float(t_cls), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(j_bbox), float(t_bbox), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(j_ctr), float(t_ctr), rtol=1e-5, atol=1e-6)
