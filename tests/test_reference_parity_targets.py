@@ -337,3 +337,70 @@ def test_pseudo_branch_loss_matches_reference(torch_head):
     np.testing.assert_allclose(float(j_cls), float(t_cls), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(j_bbox), float(t_bbox), rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(float(j_ctr), float(t_ctr), rtol=1e-5, atol=1e-6)
+
+
+def test_mil_bag_selection_matches_reference(torch_head):
+    """mil_bag_selection (fcos_head_p2b_ts.py:1092-1145) vs the selection tail
+    of train.mil.mil_stage: sigmoid/softmax-normalised scores gathered at the
+    pseudo label, top-k weighted merge, the x-then-y clamp, beta blend. The
+    torch side consumes OUR fine_proposals bags; our mil_stage runs end to end
+    with stubbed towers (zero deltas -> refined bags == input bags; preset
+    score tables)."""
+    import jax
+    from point_teacher_tpu.core.proposals import FineProposalCfg
+    from point_teacher_tpu.train.mil import mil_stage
+
+    rng = np.random.RandomState(40)
+    g, c = 3, NUM_CLASSES
+    img = 160.0
+    fine_cfg = FineProposalCfg(base_ratios=(1.0,))
+    ext_cfg = FineProposalCfg(base_ratios=(1.0, 1.2, 0.8))  # U2 = 9
+    u = ext_cfg.num_bags
+    top_k, beta = 3, 0.25
+    # keep boxes away from the border so clamps don't mask order bugs
+    cx = rng.uniform(30, img - 30, g) + 0.17
+    cy = rng.uniform(30, img - 30, g) + 0.23
+    bw = rng.uniform(10, 30, g)
+    bh = rng.uniform(10, 30, g)
+    boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2],
+                     -1).astype(np.float32)
+    labels = rng.randint(0, c, g).astype(np.int64)
+    cls_tab = rng.randn(g * u, c).astype(np.float32)
+    ins_tab = rng.randn(g * u, c).astype(np.float32)
+
+    def mil_regress(x, stage):
+        return jnp.zeros((x.shape[0], 4), jnp.float32)
+
+    def mil_classify(x, stage):
+        return jnp.asarray(cls_tab), jnp.asarray(ins_tab)
+
+    feat = jnp.asarray(rng.randn(1, 20, 20, 8).astype(np.float32))
+    out = mil_stage(
+        mil_regress, mil_classify, None, feat,
+        jnp.asarray(boxes)[None], jnp.asarray(labels.astype(np.int32))[None],
+        jnp.ones((1, g), bool), jnp.asarray(boxes)[None],
+        fine_cfg, ext_cfg, stage=0, img_hw=(img, img), top_k=top_k, beta=beta,
+        dn_hyper=0.2, neg_key=None, with_bags_loss=True)
+    ours = np.asarray(out.refined_boxes[0])
+
+    # torch side consumes the same bags; zero deltas mean the refined bags the
+    # reference would select over are delta_decode(ext, 0) = image-clamped ext
+    from point_teacher_tpu.core.proposals import delta_decode, fine_proposals
+    props, _ = fine_proposals(jnp.asarray(boxes), fine_cfg, (img, img))
+    ext, ext_valid = fine_proposals(props.reshape(-1, 4), ext_cfg, (img, img))
+    ext = np.asarray(delta_decode(ext.reshape(-1, 4),
+                                  jnp.zeros((g * u, 4)), (img, img)))
+    torch_head.topk, torch_head.beta = top_k, beta
+    bbox_results = {
+        "cls_score": torch.from_numpy(cls_tab.reshape(g, 1, u, c)),
+        "ins_score": torch.from_numpy(ins_tab.reshape(g, 1, u, c)),
+        "extensive_bags": [torch.from_numpy(ext.reshape(g * u, 4))],
+        "extensive_bags_valid": [torch.from_numpy(
+            np.asarray(ext_valid).reshape(g * u, 1))],
+    }
+    with torch.no_grad():
+        merged = torch_head.mil_bag_selection(
+            bbox_results, [{"img_shape": (int(img), int(img), 3)}],
+            [torch.from_numpy(boxes)], [torch.from_numpy(labels)])
+
+    np.testing.assert_allclose(ours, merged[0].numpy(), rtol=1e-5, atol=1e-4)
