@@ -167,11 +167,33 @@ def setup():
 
     _mod("mmcv.runner", force_fp32=_fp_deco, auto_fp16=_fp_deco,
          BaseModule=BaseModule, OptimizerHook=object)
+    def _diff_iou_rotated_2d_cv2(pred, target):
+        """Batched rotated IoU [B, N] via the cv2 oracle (value-only stand-in
+        for mmcv's differentiable CUDA op: the parity tests run under
+        no_grad, and cv2.rotatedRectangleIntersection is exact geometry
+        independent of this repo's JAX code)."""
+        import cv2
+        import numpy as np
+
+        a = pred.detach().cpu().numpy().reshape(-1, 5)
+        b = target.detach().cpu().numpy().reshape(-1, 5)
+        out = np.zeros(a.shape[0], np.float32)
+        for i in range(a.shape[0]):
+            r1 = ((float(a[i, 0]), float(a[i, 1])),
+                  (float(a[i, 2]), float(a[i, 3])), float(np.degrees(a[i, 4])))
+            r2 = ((float(b[i, 0]), float(b[i, 1])),
+                  (float(b[i, 2]), float(b[i, 3])), float(np.degrees(b[i, 4])))
+            ret, pts = cv2.rotatedRectangleIntersection(r1, r2)
+            inter = float(cv2.contourArea(pts)) if pts is not None else 0.0
+            union = float(a[i, 2] * a[i, 3] + b[i, 2] * b[i, 3]) - inter
+            out[i] = inter / max(union, 1e-6)
+        return torch.from_numpy(out.reshape(pred.shape[:-1]))
+
     _mod("mmcv.ops", nms_rotated=_raise_stub("nms_rotated"),
          nms=_raise_stub("nms"), batched_nms=_raise_stub("batched_nms"),
          RoIAlign=_raise_stub("RoIAlign"),
          sigmoid_focal_loss=_raise_stub("sigmoid_focal_loss"),
-         diff_iou_rotated_2d=None)
+         diff_iou_rotated_2d=_diff_iou_rotated_2d_cv2)
 
     # ---------------- torchvision stub (not installed) ----------------
     tv = _mod("torchvision")

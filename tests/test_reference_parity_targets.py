@@ -404,3 +404,103 @@ def test_mil_bag_selection_matches_reference(torch_head):
             [torch.from_numpy(boxes)], [torch.from_numpy(labels)])
 
     np.testing.assert_allclose(ours, merged[0].numpy(), rtol=1e-5, atol=1e-4)
+
+
+@pytest.fixture(scope="module")
+def torch_rhead_losses():
+    """Rotated head with the SHIPPED SODA-A losses (RotatedIoULoss burn-1)."""
+    torch.manual_seed(2)
+    return REF.r_head.TS_P2RBRotatedFCOSHead(
+        num_classes=9, in_channels=256, stacked_convs=1, feat_channels=32,
+        strides=[8], center_sampling=True, norm_on_bbox=True,
+        separate_angle=False, scale_angle=True, mil_stack_conv=0,
+        num_stages=2, train_cfg=TRAIN_CFG,
+        loss_bbox_burn1=dict(type="RotatedIoULoss", loss_weight=1.0),
+        bbox_coder=dict(type="DistanceAnglePointCoder", angle_version="le90"),
+        bbox_roi_extractor=dict(type="RotatedSingleRoIExtractor"),
+    )
+
+
+def _rdense_preds(seed, b=2, n=20, c=9):
+    r = np.random.RandomState(seed)
+    cls = r.randn(b, c, n, n).astype(np.float32)
+    bbox = (np.abs(r.randn(b, 4, n, n)) * 8 + 0.5).astype(np.float32)
+    angle = (r.randn(b, 1, n, n) * 0.5).astype(np.float32)
+    ctr = r.randn(b, 1, n, n).astype(np.float32)
+    return cls, bbox, angle, ctr
+
+
+def test_rotated_pseudo_branch_loss_matches_reference(torch_rhead_losses):
+    """rotated loss_pseudo (rotated_fcos_head_p2rb_ts.py:417-528) vs
+    pseudo_branch_loss_rotated: focal cls, centerness-weighted RotatedIoULoss
+    (log mode) on DistanceAnglePointCoder-decoded 5-dim boxes (the torch
+    side's diff_iou_rotated_2d is a cv2 geometry oracle), centerness BCE.
+    Also exercises our sparse top-k positive gather (max_pos) for exactness."""
+    from point_teacher_tpu.train.rdense_losses import (
+        RDenseLossCfg, pseudo_branch_loss_rotated)
+
+    pts = _grid_points()
+    cls, bbox, angle, ctr = _rdense_preds(50)
+    r = np.random.RandomState(51)
+    gts, prs, labs = [], [], []
+    for s in (50, 51):
+        _, rboxes, _, labels = _random_rcase(s)
+        g = rboxes.shape[0]
+        gp = np.stack([r.uniform(10, 150, g) + r.uniform(0.05, 0.3, g),
+                       r.uniform(10, 150, g) + r.uniform(0.05, 0.3, g)],
+                      -1).astype(np.float32)
+        gts.append(gp); prs.append(rboxes); labs.append(labels)
+
+    with torch.no_grad():
+        t_cls, t_bbox, t_ctr = torch_rhead_losses.loss_pseudo(
+            [torch.from_numpy(cls)], [torch.from_numpy(bbox)],
+            [torch.from_numpy(angle)], [torch.from_numpy(ctr)],
+            [torch.from_numpy(pts)],
+            [torch.from_numpy(x) for x in gts],
+            [torch.from_numpy(x) for x in labs],
+            [torch.from_numpy(x) for x in gts],
+            [torch.from_numpy(x) for x in labs],
+            [torch.from_numpy(x) for x in prs],
+            [None, None],
+            [{"ori_filename": "a.png"}, {"ori_filename": "b.png"}],
+            [None, None], False)
+
+    cfg = RDenseLossCfg(num_classes=9)
+    j_cls, j_bbox, j_ctr = pseudo_branch_loss_rotated(
+        _nhwc_flat(cls), _nhwc_flat(bbox), _nhwc_flat(angle),
+        _nhwc_flat(ctr)[..., 0], jnp.asarray(pts), jnp.asarray(np.stack(gts)),
+        jnp.asarray(np.stack(labs).astype(np.int32)),
+        jnp.ones((2, gts[0].shape[0]), bool), jnp.asarray(np.stack(prs)),
+        jnp.ones((2, prs[0].shape[0]), bool), cfg)
+
+    np.testing.assert_allclose(float(j_cls), float(t_cls), rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(float(j_bbox), float(t_bbox), rtol=5e-4, atol=1e-4)
+    np.testing.assert_allclose(float(j_ctr), float(t_ctr), rtol=1e-5, atol=1e-6)
+
+
+def test_rotated_syn_branch_loss_matches_reference(torch_rhead_losses):
+    """rotated loss (syn branch, :535-627) vs syn_branch_loss_rotated."""
+    from point_teacher_tpu.train.rdense_losses import (
+        RDenseLossCfg, syn_branch_loss_rotated)
+
+    pts = _grid_points()
+    cls, bbox, angle, ctr = _rdense_preds(60)
+    cases = [_random_rcase(s)[1] for s in (60, 61)]
+
+    with torch.no_grad():
+        t_bbox, t_ctr = torch_rhead_losses.loss(
+            [torch.from_numpy(cls)], [torch.from_numpy(bbox)],
+            [torch.from_numpy(angle)], [torch.from_numpy(ctr)],
+            [torch.from_numpy(pts)],
+            [torch.from_numpy(x) for x in cases],
+            [{"ori_filename": "a.png"}, {"ori_filename": "b.png"}])
+
+    cfg = RDenseLossCfg(num_classes=9)
+    gb = jnp.asarray(np.stack(cases))
+    j_bbox, j_ctr = syn_branch_loss_rotated(
+        _nhwc_flat(cls), _nhwc_flat(bbox), _nhwc_flat(angle),
+        _nhwc_flat(ctr)[..., 0], jnp.asarray(pts), gb,
+        jnp.ones(gb.shape[:2], bool), cfg)
+
+    np.testing.assert_allclose(float(j_bbox), float(t_bbox), rtol=5e-4, atol=1e-4)
+    np.testing.assert_allclose(float(j_ctr), float(t_ctr), rtol=1e-5, atol=1e-6)
