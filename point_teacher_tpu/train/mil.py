@@ -133,7 +133,7 @@ def mil_stage_rotated(
         # window=16 cells = 128px coverage — SODA-A objects top out near 45px
         # (Normal split <= 2000px^2); larger boxes clamp to the window border.
         return roi_align_rotated_matmul(feat, rr, out_size=7, spatial_scale=1.0 / 8,
-                                        chunk=128, window=16)
+                                        chunk=256, window=16)
 
     def gpool(feat, rr, centers):
         # grouped shared-window rotated pool, single-shot (chunk=G: the
@@ -281,7 +281,7 @@ def mil_stage(
     dn_hyper: float,
     neg_key: Optional[Array],
     with_bags_loss: bool,
-    roi_chunk: int = 128,
+    roi_chunk: int = 256,  # covers gen_num_neg=200 single-shot (no lax.map)
 ):
     """One MIL refinement stage over a batch.
 
