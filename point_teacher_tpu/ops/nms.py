@@ -125,12 +125,14 @@ def multiclass_nms_rotated(
     (cx,cy,w,h,a,score), labels, valid).
     """
     n, c = scores.shape
+    # raw-score threshold BEFORE the score_factors multiply — mmrotate
+    # bbox_nms_rotated.py:49-55 (same rule as the HBB multiclass_nms)
+    valid = (scores > score_thr).reshape(-1)
     if score_factors is not None:
         scores = scores * score_factors[:, None]
     boxes_f = jnp.broadcast_to(rboxes[:, None, :], (n, c, 5)).reshape(-1, 5)
     scores_f = scores.reshape(-1)
     labels_f = jnp.broadcast_to(jnp.arange(c)[None, :], (n, c)).reshape(-1)
-    valid = scores_f > score_thr
 
     # rotated IoU is translation-invariant, so the per-class coordinate-offset
     # trick works on (cx, cy): classes land far apart and never suppress
@@ -231,12 +233,16 @@ def multiclass_nms(
     fixed-shape (dets [max_out, 5], labels [max_out], valid [max_out]).
     """
     n, c = scores.shape
+    # the reference thresholds the RAW class score BEFORE multiplying
+    # score_factors (bbox_nms.py: "multiply score_factor after threshold to
+    # preserve more bboxes") — a raw score above thr survives even when the
+    # centerness-weighted product falls below it
+    valid = (scores > score_thr).reshape(-1)
     if score_factors is not None:
         scores = scores * score_factors[:, None]
     boxes_f = jnp.broadcast_to(boxes[:, None, :], (n, c, 4)).reshape(-1, 4)
     scores_f = scores.reshape(-1)
     labels_f = jnp.broadcast_to(jnp.arange(c)[None, :], (n, c)).reshape(-1)
-    valid = scores_f > score_thr
 
     # class-offset so that boxes of different classes never overlap
     max_coord = jnp.max(jnp.where(valid[:, None], boxes_f, 0.0)) + 1.0

@@ -504,3 +504,86 @@ def test_rotated_syn_branch_loss_matches_reference(torch_rhead_losses):
 
     np.testing.assert_allclose(float(j_bbox), float(t_bbox), rtol=5e-4, atol=1e-4)
     np.testing.assert_allclose(float(j_ctr), float(t_ctr), rtol=1e-5, atol=1e-6)
+
+
+# ---------------- multiclass NMS wrapper ----------------
+
+def _load_reference_multiclass_nms():
+    """Load the REAL mmdet bbox_nms.py with mmcv's batched_nms bridged to an
+    exact sequential torch/numpy greedy NMS (independent oracle)."""
+    import importlib
+    from _ref_stubs import _mod, _pkg
+
+    def greedy_batched_nms(boxes, scores, idxs, nms_cfg, class_agnostic=False):
+        iou_thr = nms_cfg["iou_threshold"]
+        if boxes.numel() == 0:
+            return (torch.cat([boxes, scores[:, None]], -1),
+                    torch.zeros(0, dtype=torch.long))
+        offsets = idxs.to(boxes) * (boxes.max() + 1)
+        bn = (boxes + offsets[:, None]).numpy()
+        sc = scores.numpy()
+        areas = (bn[:, 2] - bn[:, 0]) * (bn[:, 3] - bn[:, 1])
+        order = np.argsort(-sc)
+        sup = np.zeros(len(bn), bool)
+        keep = []
+        for i in order:
+            if sup[i]:
+                continue
+            keep.append(i)
+            xx1 = np.maximum(bn[i, 0], bn[:, 0])
+            yy1 = np.maximum(bn[i, 1], bn[:, 1])
+            xx2 = np.minimum(bn[i, 2], bn[:, 2])
+            yy2 = np.minimum(bn[i, 3], bn[:, 3])
+            inter = np.maximum(xx2 - xx1, 0) * np.maximum(yy2 - yy1, 0)
+            iou = inter / np.maximum(areas[i] + areas - inter, 1e-12)
+            sup |= iou > iou_thr
+            sup[i] = True  # self marked; already kept
+        keep = torch.tensor(keep, dtype=torch.long)
+        return torch.cat([boxes[keep], scores[keep][:, None]], -1), keep
+
+    _mod("mmcv.ops.nms", batched_nms=greedy_batched_nms)
+    _pkg("refhbb.core.post_processing",
+         "/root/reference/HBB_TOD/mmdet/core/post_processing")
+    return importlib.import_module("refhbb.core.post_processing.bbox_nms")
+
+
+def test_multiclass_nms_matches_reference_wrapper():
+    """Our multiclass_nms vs the reference's REAL bbox_nms.py on a dense
+    overlapping scene with scores straddling score_thr: pins the raw-score-
+    before-factor threshold rule (bbox_nms.py:52-63 — a raw score above thr
+    survives even when the centerness product falls below it), the bg-column
+    convention, per-class suppression, and max_num ordering."""
+    from point_teacher_tpu.ops.nms import multiclass_nms
+
+    bn = _load_reference_multiclass_nms()
+    r = np.random.RandomState(70)
+    n, c = 300, NUM_CLASSES
+    cx = r.uniform(20, 140, n)
+    cy = r.uniform(20, 140, n)
+    w = r.uniform(4, 18, n)
+    h = r.uniform(4, 18, n)
+    boxes = np.stack([cx - w / 2, cy - h / 2, cx + w / 2, cy + h / 2],
+                     -1).astype(np.float32)
+    scores = r.uniform(0.0, 0.15, (n, c)).astype(np.float32)  # straddle 0.05
+    ctr = r.uniform(0.1, 1.0, n).astype(np.float32)
+
+    multi_scores = np.concatenate([scores, np.zeros((n, 1), np.float32)], -1)
+    with torch.no_grad():
+        t_dets, t_labels = bn.multiclass_nms(
+            torch.from_numpy(boxes), torch.from_numpy(multi_scores),
+            0.05, dict(iou_threshold=0.5), max_num=100,
+            score_factors=torch.from_numpy(ctr))
+
+    dets, labels, valid = multiclass_nms(
+        jnp.asarray(boxes), jnp.asarray(scores), 0.05, 0.5, 100,
+        score_factors=jnp.asarray(ctr))
+    k = int(np.asarray(valid).sum())
+
+    assert k == t_dets.shape[0]
+    np.testing.assert_allclose(np.asarray(dets)[:k], t_dets.numpy(),
+                               rtol=1e-5, atol=1e-5)
+    np.testing.assert_array_equal(np.asarray(labels)[:k], t_labels.numpy())
+    # non-vacuity: the threshold-order rule must be exercised
+    prod = (scores * ctr[:, None]).reshape(-1)
+    raw = scores.reshape(-1)
+    assert ((raw > 0.05) & (prod <= 0.05)).any()
