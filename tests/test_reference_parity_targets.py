@@ -587,3 +587,58 @@ def test_multiclass_nms_matches_reference_wrapper():
     prod = (scores * ctr[:, None]).reshape(-1)
     raw = scores.reshape(-1)
     assert ((raw > 0.05) & (prod <= 0.05)).any()
+
+
+def test_get_bboxes_chain_matches_reference(torch_head):
+    """Full inference chain — per-level top-k by max(score*ctr), decode with
+    img_shape clamp, rescale, multiclass NMS — vs the reference's _get_bboxes
+    (fcos_head_p2b_ts.py:863-1002) running its REAL bbox_nms.py."""
+    import sys, types
+    from point_teacher_tpu.inference import get_bboxes_single
+    from point_teacher_tpu.train.config import InferenceCfg
+
+    bn = _load_reference_multiclass_nms()
+    REF.fcos_head.multiclass_nms = bn.multiclass_nms
+
+    exp = types.ModuleType("mmdet.core.export")
+
+    def get_k_for_topk(k, size):  # onnx_helper.py:45 (non-onnx branch)
+        k = int(k)
+        return k if 0 < k < int(size) else -1
+
+    exp.get_k_for_topk = get_k_for_topk
+    sys.modules["mmdet.core.export"] = exp
+
+    r = np.random.RandomState(80)
+    n = 20
+    P, C = n * n, NUM_CLASSES
+    pts = _grid_points(n)
+    cls4 = (r.randn(1, C, n, n) * 2 - 2).astype(np.float32)
+    bb4 = (np.abs(r.randn(1, 4, n, n)) * 12 + 1).astype(np.float32)
+    ct4 = (r.randn(1, 1, n, n)).astype(np.float32)
+    sf = np.array([0.8, 0.8, 0.8, 0.8], np.float32)
+
+    class _Cfg(dict):
+        __getattr__ = dict.__getitem__
+
+    cfg_t = _Cfg(nms_pre=150, score_thr=0.05, nms=dict(iou_threshold=0.5),
+                 max_per_img=100)
+    with torch.no_grad():
+        (t_dets, t_labels), = torch_head._get_bboxes(
+            [torch.from_numpy(cls4)], [torch.from_numpy(bb4)],
+            [torch.from_numpy(ct4)], [torch.from_numpy(pts)],
+            (160, 160, 3), [sf], cfg_t, rescale=True)
+
+    cfg_j = InferenceCfg(nms_pre=150, score_thr=0.05, nms_iou=0.5,
+                         max_per_img=100)
+    dets, labels, valid = get_bboxes_single(
+        jnp.asarray(cls4.transpose(0, 2, 3, 1).reshape(P, C)),
+        jnp.asarray(bb4.transpose(0, 2, 3, 1).reshape(P, 4)),
+        jnp.asarray(ct4.transpose(0, 2, 3, 1).reshape(P)),
+        jnp.asarray(pts), (160, 160), jnp.asarray(sf), cfg_j, rescale=True)
+    k = int(np.asarray(valid).sum())
+
+    assert k == t_dets.shape[0] and k > 0
+    np.testing.assert_allclose(np.asarray(dets)[:k], t_dets.numpy(),
+                               rtol=1e-4, atol=1e-4)
+    np.testing.assert_array_equal(np.asarray(labels)[:k], t_labels.numpy())
