@@ -90,21 +90,42 @@ def build_rotated_inference_fn(model, cfg: InferenceCfg, img_size: int, stride: 
         ctr_f = centerness.reshape(b, -1)
 
         def single(cl, p5, ct, sf):
-            scores = jax.nn.sigmoid(cl)
-            ctr = jax.nn.sigmoid(ct)
-            nms_pre = min(cfg.nms_pre, scores.shape[0])
-            max_scores = (scores * ctr[:, None]).max(-1)
-            _, topk = jax.lax.top_k(max_scores, nms_pre)
-            rb = distance_angle_decode(points[topk], p5[topk])
-            rb = rb.at[..., :4].set(rb[..., :4] / sf[0])  # square scale factor
-            return multiclass_nms_rotated(
-                rb, scores[topk], cfg.score_thr, cfg.nms_iou, cfg.max_per_img,
-                score_factors=ctr[topk],
-            )
+            return get_rbboxes_single(cl, p5, ct, points, sf, cfg)
 
         return jax.vmap(single)(cls_f, pred5, ctr_f, scale_factors)
 
     return infer
+
+
+def get_rbboxes_single(
+    cls_logits: Array,   # [P, C]
+    pred5: Array,        # [P, 5] (l,t,r,b,angle)
+    centerness: Array,   # [P]
+    points: Array,       # [P, 2]
+    scale_factor: Array,  # [4] (w,h,w,h); (cx,cy,w,h) are divided by it
+    cfg: InferenceCfg,
+):
+    """Single-image rotated decode+NMS chain
+    (rotated_fcos_head_p2rb_ts.py _get_bboxes_single :998-1090)."""
+    from .ops.nms import multiclass_nms_rotated
+    from .ops.rotated import distance_angle_decode
+
+    scores = jax.nn.sigmoid(cls_logits)
+    nms_pre = min(cfg.nms_pre, scores.shape[0])
+    # rotated quirks vs the HBB path (both caught by the chain differential
+    # test): (1) nms_pre ranks by the RAW max class score — the
+    # centerness-weighted line is commented out in the reference
+    # (rotated_fcos_head_p2rb_ts.py:1052-1053); (2) NMS runs with
+    # score_factors=ones (:1087-1090) — centerness never weights the rotated
+    # detection scores. `centerness` is accepted for signature symmetry.
+    max_scores = scores.max(-1)
+    _, topk = jax.lax.top_k(max_scores, nms_pre)
+    rb = distance_angle_decode(points[topk], pred5[topk])
+    rb = rb.at[..., :4].set(rb[..., :4] / scale_factor[None, :])
+    return multiclass_nms_rotated(
+        rb, scores[topk], cfg.score_thr, cfg.nms_iou, cfg.max_per_img,
+        score_factors=None,
+    )
 
 
 def map_back_boxes(boxes: Array, img_shape: Array, scale_factor: Array,

@@ -642,3 +642,96 @@ def test_get_bboxes_chain_matches_reference(torch_head):
     np.testing.assert_allclose(np.asarray(dets)[:k], t_dets.numpy(),
                                rtol=1e-4, atol=1e-4)
     np.testing.assert_array_equal(np.asarray(labels)[:k], t_labels.numpy())
+
+
+def _load_reference_multiclass_nms_rotated():
+    """Load the REAL mmrotate bbox_nms_rotated.py with mmcv's nms_rotated
+    bridged to a sequential greedy NMS over the cv2 rotated-IoU oracle."""
+    import importlib, sys
+    from _ref_stubs import _pkg
+
+    def _riou_cv2(a, b):
+        import cv2
+        r1 = ((float(a[0]), float(a[1])), (float(a[2]), float(a[3])),
+              float(np.degrees(a[4])))
+        r2 = ((float(b[0]), float(b[1])), (float(b[2]), float(b[3])),
+              float(np.degrees(b[4])))
+        ret, pts = cv2.rotatedRectangleIntersection(r1, r2)
+        inter = float(cv2.contourArea(pts)) if pts is not None else 0.0
+        union = float(a[2] * a[3] + b[2] * b[3]) - inter
+        return inter / max(union, 1e-6)
+
+    def greedy_nms_rotated(boxes, scores, iou_thr):
+        bn = boxes.numpy()
+        sc = scores.numpy()
+        order = np.argsort(-sc)
+        sup = np.zeros(len(bn), bool)
+        keep = []
+        for i in order:
+            if sup[i]:
+                continue
+            keep.append(i)
+            for j in order:
+                if not sup[j] and j != i and _riou_cv2(bn[i], bn[j]) > iou_thr:
+                    sup[j] = True
+            sup[i] = True
+        keep = torch.tensor(keep, dtype=torch.long)
+        dets = torch.cat([boxes[keep], scores[keep][:, None]], -1)
+        return dets, keep
+
+    sys.modules["mmcv.ops"].nms_rotated = greedy_nms_rotated
+    _pkg("refobb.core.post_processing",
+         "/root/reference/OBB_TOD/mmrotate/core/post_processing")
+    return importlib.import_module(
+        "refobb.core.post_processing.bbox_nms_rotated")
+
+
+def test_rotated_get_bboxes_chain_matches_reference(torch_rhead):
+    """Rotated inference chain vs the reference _get_bboxes_single
+    (:998-1090): RAW-max-score top-k (the centerness-weighted ranking is
+    commented out in the reference — a quirk the HBB path does not share),
+    distance2obb decode (max_shape ignored), (cx,cy,w,h)/scale rescale, and
+    the REAL bbox_nms_rotated.py running on the cv2 IoU oracle."""
+    import types
+    from point_teacher_tpu.inference import get_rbboxes_single
+    from point_teacher_tpu.train.config import InferenceCfg
+
+    bnr = _load_reference_multiclass_nms_rotated()
+    REF.r_head.multiclass_nms_rotated = bnr.multiclass_nms_rotated
+
+    r = np.random.RandomState(90)
+    n = 16
+    P, C = n * n, 9
+    pts = _grid_points(n)
+    cls2 = (r.randn(C, n, n) * 2 - 2).astype(np.float32)
+    bb2 = (np.abs(r.randn(4, n, n)) * 10 + 1).astype(np.float32)
+    an2 = (r.randn(1, n, n) * 0.6).astype(np.float32)
+    ct2 = r.randn(1, n, n).astype(np.float32)
+    sf = np.array([0.75, 0.75, 0.75, 0.75], np.float32)
+
+    class _Cfg(dict):
+        __getattr__ = dict.__getitem__
+
+    cfg_t = _Cfg(nms_pre=120, score_thr=0.05,
+                 nms=_Cfg(iou_thr=0.1), max_per_img=60)
+    with torch.no_grad():
+        t_dets, t_labels = torch_rhead._get_bboxes_single(
+            [torch.from_numpy(cls2)], [torch.from_numpy(bb2)],
+            [torch.from_numpy(an2)], [torch.from_numpy(ct2)],
+            [torch.from_numpy(pts)], (120, 120, 3), sf, cfg_t, rescale=True)
+
+    cfg_j = InferenceCfg(nms_pre=120, score_thr=0.05, nms_iou=0.1,
+                         max_per_img=60)
+    dets, labels, valid = get_rbboxes_single(
+        jnp.asarray(cls2.transpose(1, 2, 0).reshape(P, C)),
+        jnp.asarray(np.concatenate(
+            [bb2.transpose(1, 2, 0).reshape(P, 4),
+             an2.transpose(1, 2, 0).reshape(P, 1)], -1)),
+        jnp.asarray(ct2.transpose(1, 2, 0).reshape(P)),
+        jnp.asarray(pts), jnp.asarray(sf), cfg_j)
+    k = int(np.asarray(valid).sum())
+
+    assert k == t_dets.shape[0] and k > 0
+    np.testing.assert_allclose(np.asarray(dets)[:k], t_dets.numpy(),
+                               rtol=1e-4, atol=1e-3)
+    np.testing.assert_array_equal(np.asarray(labels)[:k], t_labels.numpy())
