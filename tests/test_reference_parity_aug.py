@@ -1,0 +1,93 @@
+"""Differential parity: strong augmentation vs the reference's own
+strong_augmentation (syn_images_generator_v2.py:24-130).
+
+The reference samples its flip direction / scale with python random +
+np.random inside the function; we monkeypatch those to force each branch and
+compare against our deterministic _flip/_rescale pieces — coordinates exactly,
+the warped image to the rounding boundary.
+"""
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+from point_teacher_tpu.core.augment import _flip, _rescale  # noqa: E402
+
+from _ref_stubs import setup  # noqa: E402
+
+REF = setup()
+
+H = W = 64
+DIRS = ["horizontal", "vertical", "diagonal", "None"]
+
+
+def _case(seed, g=6):
+    r = np.random.RandomState(seed)
+    img = r.randint(0, 255, (1, 3, H, W)).astype(np.float32)
+    gp = r.uniform(5, 59, (g, 2)).astype(np.float32)
+    pp = r.uniform(5, 59, (g, 2)).astype(np.float32)
+    cx = r.uniform(10, 54, g)
+    cy = r.uniform(10, 54, g)
+    bw = r.uniform(4, 16, g)
+    bh = r.uniform(4, 16, g)
+    pb = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2],
+                  -1).astype(np.float32)
+    labels = r.randint(0, 8, g).astype(np.int64)
+    return img, gp, pp, pb, labels
+
+
+def _run_reference(img, gp, pp, pb, labels, direction, scale, monkeypatch):
+    mod = REF.syn_gen
+    monkeypatch.setattr(mod.random, "choice", lambda seq: direction)
+    monkeypatch.setattr(mod.np.random, "uniform",
+                        lambda lo, hi: float(scale))
+    with torch.no_grad():
+        out = mod.strong_augmentation(
+            torch.from_numpy(img), [torch.from_numpy(gp)],
+            [torch.from_numpy(labels)], [torch.from_numpy(pp)],
+            [torch.from_numpy(labels)], [torch.from_numpy(pb)])
+    img_aug, _, gt_points, _, ps_points, _, ps_bboxes = out
+    return (img_aug.numpy()[0], gt_points[0].numpy(), ps_points[0].numpy(),
+            ps_bboxes[0].numpy())
+
+
+@pytest.mark.parametrize("direction", DIRS)
+@pytest.mark.parametrize("scale", [0.8, 0.9, 1.0, 1.1, 1.2])
+def test_strong_augmentation_matches_reference(direction, scale, monkeypatch):
+    img, gp, pp, pb, labels = _case(3)
+    t_img, t_gp, t_pp, t_pb = _run_reference(
+        img, gp, pp, pb, labels, direction, scale, monkeypatch)
+
+    jimg = jnp.asarray(img[0].transpose(1, 2, 0))
+    fimg, (fgp, fpp), fpb = _flip(
+        jimg, [jnp.asarray(gp), jnp.asarray(pp)], jnp.asarray(pb),
+        jnp.asarray(DIRS.index(direction)), H, W)
+    rimg, (rgp, rpp), rpb, (in_g, in_p) = _rescale(
+        fimg, [fgp, fpp], fpb, jnp.asarray(float(scale)), H, W)
+
+    # coordinate laws: exact. On upscale the reference drops out-of-frame
+    # rows; our inframe mask marks the same set.
+    np.testing.assert_allclose(np.asarray(rgp)[np.asarray(in_g)], t_gp,
+                               rtol=1e-5, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(rpp)[np.asarray(in_p)], t_pp,
+                               rtol=1e-5, atol=1e-3)
+    # pseudo boxes: the reference keeps rows by the POINT insider test and
+    # re-canonicalises (min-corner/abs-wh) after the shift
+    sel = np.asarray(in_p)
+    ours_pb = np.asarray(rpb)[sel]
+    x = np.minimum(ours_pb[:, 0], ours_pb[:, 2])
+    y = np.minimum(ours_pb[:, 1], ours_pb[:, 3])
+    w_ = np.abs(ours_pb[:, 0] - ours_pb[:, 2])
+    h_ = np.abs(ours_pb[:, 1] - ours_pb[:, 3])
+    ours_canon = np.stack([x, y, x + w_, y + h_], -1)
+    np.testing.assert_allclose(ours_canon, t_pb, rtol=1e-5, atol=1e-3)
+
+    # image: same bilinear law + round; allow the f32 rounding boundary
+    ours_img = np.asarray(rimg)
+    ref_img = t_img.transpose(1, 2, 0)
+    diff = np.abs(ours_img - ref_img)
+    assert diff.max() <= 1.0 + 1e-6, diff.max()
+    assert (diff > 0.5).mean() < 2e-3, (diff > 0.5).mean()
