@@ -1,10 +1,15 @@
-"""Rotated strong augmentation (flip + discrete rescale on rotated boxes).
+"""Rotated strong augmentation (flip + random rotate + discrete rescale).
 
 Capability target: OBB_TOD/mmrotate/models/detectors/syn_images_generator_v2.py
-strong_augmentation (:223-360) — the reference flips/rescales corner polygons
-and converts back with poly2obb; flipping a rotated box is equivalent to
-mirroring its centre and negating the angle (diagonal flip keeps the angle),
-with le90 renormalisation.
+strong_augmentation (:223-360) — the reference converts to corner polygons,
+flips, rotates by a random 1-19 degree angle (TF.rotate on the image, the
+R(-angle) matrix on coordinates, insider filter after), rescales, and
+converts back with poly2obb_le90. Operating analytically on (cx,cy,w,h,a) is
+equivalent: flips mirror the centre and negate the angle (diagonal keeps it),
+rigid rotation adds the rotation to the angle, and the final poly2obb_le90
+round trip is the w>=h long-edge-angle canonicalisation (_canon_le90).
+Differential-tested against the reference's own function in
+tests/test_reference_parity_aug.py.
 """
 from __future__ import annotations
 
@@ -70,20 +75,83 @@ def _flip_image(img, direction):
     )
 
 
+def _rotate_coords(p, rad, h, w):
+    """R(rad) about the image centre (w/2, h/2) — the reference's coordinate
+    law for its random-rotate step (syn_images_generator_v2.py OBB :267-281,
+    radians = deg2rad(-angle))."""
+    cx, cy = w / 2.0, h / 2.0
+    cos, sin = jnp.cos(rad), jnp.sin(rad)
+    x = p[..., 0] - cx
+    y = p[..., 1] - cy
+    return jnp.stack([cos * x - sin * y + cx, sin * x + cos * y + cy], -1)
+
+
+def _rotate_image_nearest(img, rad_inv, h, w):
+    """TF.rotate(img, angle, fill=0) analog: NEAREST inverse warp about the
+    (w/2, h/2) centre (torchvision's default interpolation and center).
+    `rad_inv` is the INVERSE map's rotation (= +angle in radians when the
+    points move by R(-angle))."""
+    cx, cy = w / 2.0, h / 2.0
+    cos, sin = jnp.cos(rad_inv), jnp.sin(rad_inv)
+    yy, xx = jnp.meshgrid(jnp.arange(h, dtype=img.dtype) + 0.5,
+                          jnp.arange(w, dtype=img.dtype) + 0.5, indexing="ij")
+    xr = xx - cx
+    yr = yy - cy
+    sx = cos * xr - sin * yr + cx - 0.5
+    sy = sin * xr + cos * yr + cy - 0.5
+    xi = jnp.round(sx).astype(jnp.int32)
+    yi = jnp.round(sy).astype(jnp.int32)
+    valid = (xi >= 0) & (xi < w) & (yi >= 0) & (yi < h)
+    out = img[jnp.clip(yi, 0, h - 1), jnp.clip(xi, 0, w - 1)]
+    return jnp.where(valid[..., None], out, 0.0)
+
+
+def _canon_le90(rb):
+    """poly2obb_le90 canonical form (transforms.py:301-331): w = long edge,
+    h = short edge, angle along the long edge, normalised to [-pi/2, pi/2).
+    The reference's obb2poly -> poly2obb round trip applies this to every
+    pseudo box each step. (Exact-square tie: the reference picks the pt1->pt4
+    edge's angle; the rectangle is identical either way.)"""
+    swap = rb[..., 3] > rb[..., 2]
+    w2 = jnp.where(swap, rb[..., 3], rb[..., 2])
+    h2 = jnp.where(swap, rb[..., 2], rb[..., 3])
+    a2 = norm_angle_le90(jnp.where(swap, rb[..., 4] + jnp.pi / 2, rb[..., 4]))
+    return jnp.concatenate([rb[..., :2], w2[..., None], h2[..., None],
+                            a2[..., None]], -1)
+
+
 @jax.jit
 def strong_augment_rotated(key: Array, batch: RAugBatch) -> RAugBatch:
     b, h, w, _ = batch.image.shape
 
     def one(key, img, gt_pts, gt_valid, ps_pts, ps_rb, ps_valid):
-        k1, k2 = jax.random.split(key)
+        k1, k2, k3 = jax.random.split(key, 3)
         direction = jax.random.randint(k1, (), 0, 4)
         u = jax.random.uniform(k2, (), minval=0.8, maxval=1.2)
         s = jnp.round(u * 10.0) / 10.0
+
+        def inframe(p):
+            return ((p[..., 0] >= 0) & (p[..., 0] < w)
+                    & (p[..., 1] >= 0) & (p[..., 1] < h))
 
         img = _flip_image(img, direction)
         gt_pts = _flip_points(gt_pts, direction, h, w)
         ps_pts = _flip_points(ps_pts, direction, h, w)
         ps_rb = _flip_rboxes(ps_rb, direction, h, w)
+
+        # random rotate (OBB-only step, :262-291): angle ~ randint(1, 20)
+        # degrees; coordinates move by R(deg2rad(-angle)) about the centre;
+        # TF.rotate(+angle, fill=0) on the image; insider filter after
+        angle = jax.random.randint(k3, (), 1, 20).astype(img.dtype)
+        rad = -angle * (jnp.pi / 180.0)
+        img = _rotate_image_nearest(img, -rad, h, w)
+        gt_pts = _rotate_coords(gt_pts, rad, h, w)
+        ps_pts = _rotate_coords(ps_pts, rad, h, w)
+        ps_rb = jnp.concatenate(
+            [_rotate_coords(ps_rb[..., :2], rad, h, w), ps_rb[..., 2:4],
+             (ps_rb[..., 4] + rad)[..., None]], -1)
+        gt_valid = gt_valid & inframe(gt_pts)
+        ps_valid = ps_valid & inframe(ps_pts)
 
         _, _, off_y, off_x = rescale_offsets(s, h, w)
         off = jnp.stack([off_x, off_y])
@@ -91,10 +159,8 @@ def strong_augment_rotated(key: Array, batch: RAugBatch) -> RAugBatch:
         gt_pts = gt_pts * s + off
         ps_pts = ps_pts * s + off
         ps_rb = ps_rb.at[..., :4].multiply(s).at[..., :2].add(off)
-
-        def inframe(p):
-            return ((p[..., 0] >= 0) & (p[..., 0] < w)
-                    & (p[..., 1] >= 0) & (p[..., 1] < h))
+        # the reference's final poly2obb_le90 canonicalises every pseudo box
+        ps_rb = _canon_le90(ps_rb)
 
         return RAugBatch(img, gt_pts, gt_valid & inframe(gt_pts), ps_pts, ps_rb,
                          ps_valid & inframe(ps_pts))

@@ -91,3 +91,99 @@ def test_strong_augmentation_matches_reference(direction, scale, monkeypatch):
     diff = np.abs(ours_img - ref_img)
     assert diff.max() <= 1.0 + 1e-6, diff.max()
     assert (diff > 0.5).mean() < 2e-3, (diff > 0.5).mean()
+
+
+# ---------------- rotated (OBB fork) strong augmentation ----------------
+
+def _load_obb_syn_gen():
+    import importlib
+
+    return importlib.import_module(
+        "refobb.models.detectors.syn_images_generator_v2")
+
+
+def _rcase(seed, g=6):
+    r = np.random.RandomState(seed)
+    img = r.randint(0, 255, (1, 3, H, W)).astype(np.float32)
+    gp = r.uniform(5, 59, (g, 2)).astype(np.float32)
+    pp = r.uniform(5, 59, (g, 2)).astype(np.float32)
+    rb = np.stack([r.uniform(12, 52, g), r.uniform(12, 52, g),
+                   r.uniform(6, 18, g), r.uniform(4, 14, g),
+                   r.uniform(-np.pi / 2, np.pi / 2 - 1e-3, g)],
+                  -1).astype(np.float32)
+    labels = r.randint(0, 9, g).astype(np.int64)
+    return img, gp, pp, rb, labels
+
+
+@pytest.mark.parametrize("direction", DIRS)
+@pytest.mark.parametrize("scale,angle", [(0.8, 3), (1.0, 11), (1.2, 19)])
+def test_rotated_strong_augmentation_matches_reference(direction, scale, angle,
+                                                       monkeypatch):
+    """Coordinate/rbox laws of the OBB strong_augmentation (:223-360):
+    polygon flip + R(-angle) rotation + insider filters + rescale +
+    poly2obb_le90 canonicalisation vs our analytic _flip_rboxes /
+    _rotate_coords / _canon_le90 pipeline. (The image path needs torchvision,
+    which is absent — TF.rotate is stubbed to identity on the torch side and
+    the image is not compared here; the coordinate law it must follow is the
+    one asserted.)"""
+    from point_teacher_tpu.core.raugment import (
+        _canon_le90, _flip_points, _flip_rboxes, _rotate_coords)
+    from point_teacher_tpu.core.augment import rescale_offsets
+    from point_teacher_tpu.ops.rotated import rbox_iou
+
+    mod = _load_obb_syn_gen()
+    monkeypatch.setattr(mod.random, "choice", lambda seq: direction)
+    monkeypatch.setattr(mod.np.random, "uniform", lambda lo, hi: float(scale))
+    monkeypatch.setattr(mod.np.random, "randint", lambda lo, hi: int(angle))
+    monkeypatch.setattr(mod.TF, "rotate", lambda im, a, fill=0: im,
+                        raising=False)
+
+    img, gp, pp, rb, labels = _rcase(7)
+    with torch.no_grad():
+        out = mod.strong_augmentation(
+            torch.from_numpy(img), [torch.from_numpy(gp)],
+            [torch.from_numpy(labels)], [torch.from_numpy(pp)],
+            [torch.from_numpy(labels)], [torch.from_numpy(rb)], "le90")
+    _, _, t_gp, _, t_pp, _, t_rb = out
+    t_gp, t_pp, t_rb = t_gp[0].numpy(), t_pp[0].numpy(), t_rb[0].numpy()
+
+    d = jnp.asarray(DIRS.index(direction))
+    jgp = _flip_points(jnp.asarray(gp), d, H, W)
+    jpp = _flip_points(jnp.asarray(pp), d, H, W)
+    jrb = _flip_rboxes(jnp.asarray(rb), d, H, W)
+    rad = -float(angle) * np.pi / 180.0
+    jgp = _rotate_coords(jgp, rad, H, W)
+    jpp = _rotate_coords(jpp, rad, H, W)
+    jrb = jnp.concatenate(
+        [_rotate_coords(jrb[..., :2], rad, H, W), jrb[..., 2:4],
+         (jrb[..., 4] + rad)[..., None]], -1)
+    in_g = np.asarray((jgp[:, 0] >= 0) & (jgp[:, 0] < W)
+                      & (jgp[:, 1] >= 0) & (jgp[:, 1] < H))
+    in_p = np.asarray((jpp[:, 0] >= 0) & (jpp[:, 0] < W)
+                      & (jpp[:, 1] >= 0) & (jpp[:, 1] < H))
+    s = jnp.asarray(float(scale))
+    _, _, off_y, off_x = rescale_offsets(s, H, W)
+    off = jnp.stack([off_x, off_y])
+    jgp = jgp * s + off
+    jpp = jpp * s + off
+    jrb = jrb.at[..., :4].multiply(s).at[..., :2].add(off)
+    jrb = _canon_le90(jrb)
+    in_g = in_g & np.asarray((jgp[:, 0] >= 0) & (jgp[:, 0] < W)
+                             & (jgp[:, 1] >= 0) & (jgp[:, 1] < H))
+    in_p = in_p & np.asarray((jpp[:, 0] >= 0) & (jpp[:, 0] < W)
+                             & (jpp[:, 1] >= 0) & (jpp[:, 1] < H))
+
+    np.testing.assert_allclose(np.asarray(jgp)[in_g], t_gp, rtol=1e-4,
+                               atol=1e-3)
+    np.testing.assert_allclose(np.asarray(jpp)[in_p], t_pp, rtol=1e-4,
+                               atol=1e-3)
+    ours_rb = np.asarray(jrb)[in_p]
+    assert ours_rb.shape == t_rb.shape
+    # same rectangle set: compare via aligned rotated IoU == 1 (the le90
+    # canonical (w,h,angle) triple can differ by the exact-square tie only)
+    iou = np.asarray(rbox_iou(jnp.asarray(ours_rb), jnp.asarray(t_rb),
+                              aligned=True))
+    np.testing.assert_allclose(iou, 1.0, atol=2e-3)
+    np.testing.assert_allclose(ours_rb[:, :2], t_rb[:, :2], atol=1e-3)
+    np.testing.assert_allclose(np.sort(ours_rb[:, 2:4], -1),
+                               np.sort(t_rb[:, 2:4], -1), rtol=1e-4, atol=1e-3)
