@@ -735,3 +735,62 @@ def test_rotated_get_bboxes_chain_matches_reference(torch_rhead):
     np.testing.assert_allclose(np.asarray(dets)[:k], t_dets.numpy(),
                                rtol=1e-4, atol=1e-3)
     np.testing.assert_array_equal(np.asarray(labels)[:k], t_labels.numpy())
+
+
+def test_mil_bag_training_loss_matches_reference(torch_head):
+    """mil_bag_training (fcos_head_p2b_ts.py:1147-1168, positive bags):
+    sigmoid x valid-masked softmax-normalised ins, gfocal bag loss,
+    num_sample = bags with any valid member — vs mil_stage's loss_mil_bags
+    with the same preset score tables and the same fine_proposals bags."""
+    import jax
+    from point_teacher_tpu.core.proposals import FineProposalCfg, fine_proposals
+    from point_teacher_tpu.train.mil import mil_stage
+
+    rng = np.random.RandomState(41)
+    g, c = 4, NUM_CLASSES
+    img = 160.0
+    fine_cfg = FineProposalCfg(base_ratios=(1.0,))
+    ext_cfg = FineProposalCfg(base_ratios=(1.0, 1.3, 0.7))
+    u = ext_cfg.num_bags
+    # put one GT near the border so some bag members go IoF-invalid
+    cx = np.array([30.0, 80.0, 120.0, 4.0]) + 0.13
+    cy = np.array([40.0, 90.0, 60.0, 5.0]) + 0.21
+    bw = rng.uniform(10, 30, g)
+    bh = rng.uniform(10, 30, g)
+    boxes = np.stack([cx - bw / 2, cy - bh / 2, cx + bw / 2, cy + bh / 2],
+                     -1).astype(np.float32)
+    labels = rng.randint(0, c, g).astype(np.int64)
+    cls_tab = rng.randn(g * u, c).astype(np.float32)
+    ins_tab = rng.randn(g * u, c).astype(np.float32)
+
+    def mil_regress(x, stage):
+        return jnp.zeros((x.shape[0], 4), jnp.float32)
+
+    def mil_classify(x, stage):
+        return jnp.asarray(cls_tab), jnp.asarray(ins_tab)
+
+    feat = jnp.asarray(rng.randn(1, 20, 20, 8).astype(np.float32))
+    out = mil_stage(
+        mil_regress, mil_classify, None, feat,
+        jnp.asarray(boxes)[None], jnp.asarray(labels.astype(np.int32))[None],
+        jnp.ones((1, g), bool), jnp.asarray(boxes)[None],
+        fine_cfg, ext_cfg, stage=0, img_hw=(img, img), top_k=1, beta=0.25,
+        dn_hyper=0.2, neg_key=None, with_bags_loss=True)
+
+    props, _ = fine_proposals(jnp.asarray(boxes), fine_cfg, (img, img))
+    _, ext_valid = fine_proposals(props.reshape(-1, 4), ext_cfg, (img, img))
+    assert not bool(np.asarray(ext_valid).all())  # border GT: non-vacuous mask
+
+    bbox_results = {
+        "cls_score": torch.from_numpy(cls_tab.reshape(g, 1, u, c)),
+        "ins_score": torch.from_numpy(ins_tab.reshape(g, 1, u, c)),
+        "iou_target": None,
+        "extensive_bags_valid": [torch.from_numpy(
+            np.asarray(ext_valid).reshape(g * u, 1))],
+    }
+    with torch.no_grad():
+        want = torch_head.mil_bag_training(
+            bbox_results, [torch.from_numpy(labels)], None)
+
+    np.testing.assert_allclose(float(out.loss_mil_bags), float(want),
+                               rtol=1e-5, atol=1e-6)
