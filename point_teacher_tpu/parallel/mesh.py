@@ -73,3 +73,19 @@ def make_sharded_train_step(model, tx, cfg, mesh: Mesh, axis: str = "data",
         return inner(state, batch, phase1)
 
     return run
+
+
+def make_sharded_rotated_train_step(model, tx, cfg, mesh: Mesh,
+                                    axis: str = "data", donate: bool = False):
+    """Rotated analog of make_sharded_train_step (same replicated-state /
+    batch-split SPMD DP recipe over the rotated TS step)."""
+    from ..train.rsteps import build_rotated_train_step
+
+    inner = build_rotated_train_step(model, tx, cfg, donate=donate)
+
+    def run(state, batch, phase1: bool):
+        state = replicate_state(state, mesh)
+        batch = shard_batch(batch, mesh, axis)
+        return inner(state, batch, phase1)
+
+    return run

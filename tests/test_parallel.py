@@ -181,3 +181,72 @@ def test_scan_superstep_shards_batch_axis_not_step_axis():
                       jax.tree_util.tree_leaves(s_dp.params)):
         np.testing.assert_allclose(np.asarray(lr), np.asarray(ld),
                                    rtol=2e-3, atol=2e-4)
+
+
+def test_rotated_sharded_train_step_matches_single_device():
+    """Rotated TS step over the 8-device mesh == single-device program (same
+    batch, same rng): the SPMD DP guarantee extended to the OBB trainer."""
+    from point_teacher_tpu.core.proposals import FineProposalCfg
+    from point_teacher_tpu.models.rotated_detector import StudentRotatedFCOS
+    from point_teacher_tpu.parallel.mesh import make_sharded_rotated_train_step
+    from point_teacher_tpu.train.config import PointTeacherConfig
+    from point_teacher_tpu.train.optim import make_optimizer
+    from point_teacher_tpu.train.state import create_train_state
+    from point_teacher_tpu.train.rsteps import build_rotated_train_step
+
+    B, IMG, G = 8, 64, 3
+    cfg = PointTeacherConfig(
+        num_classes=4, img_size=IMG, max_gt=G, batch_size=B, num_stages=1,
+        num_training_burninstep1=G, num_training_burninstep2=G,
+        fine_proposal_cfg=(
+            FineProposalCfg(base_ratios=(1.0,), shake_ratio=None, min_scale=0.0,
+                            gen_num_neg=8),
+        ),
+        fine_proposal_extensive_cfg=(
+            FineProposalCfg(base_ratios=(1.0, 1.2), shake_ratio=None, min_scale=4.0),
+        ),
+    )
+    model = StudentRotatedFCOS(num_classes=cfg.num_classes, num_stages=1,
+                               dtype=jnp.float32)
+    rng = jax.random.PRNGKey(0)
+    params = model.init(rng, jnp.zeros((1, IMG, IMG, 3)),
+                        jnp.zeros((2, 7, 7, 256)),
+                        method=StudentRotatedFCOS.init_all)
+    tx = make_optimizer(params, cfg.optim)
+    state = create_train_state(params, tx, num_images=16, max_gt=G, rng=rng)
+
+    rs = np.random.RandomState(9)
+    gt = np.stack(
+        [rs.uniform(12, IMG - 12, (B, G)), rs.uniform(12, IMG - 12, (B, G)),
+         rs.uniform(6, 14, (B, G)), rs.uniform(4, 10, (B, G)),
+         rs.uniform(-np.pi / 2, np.pi / 2, (B, G))], -1).astype(np.float32)
+    batch = Batch(
+        image=rs.randint(0, 255, (B, IMG, IMG, 3)).astype(np.float32),
+        gt_boxes=gt,
+        gt_labels=rs.randint(0, 4, (B, G)).astype(np.int32),
+        gt_valid=np.ones((B, G), bool),
+        image_ids=np.arange(B, dtype=np.int32),
+    )
+
+    single = build_rotated_train_step(model, tx, cfg)
+    mesh = make_mesh()
+    sharded = make_sharded_rotated_train_step(model, tx, cfg, mesh)
+
+    for phase1 in (True, False):
+        s_ref, m_ref = single(state, jax.tree_util.tree_map(jnp.asarray, batch),
+                              phase1)
+        s_dp, m_dp = sharded(state, batch, phase1)
+        for k in sorted(m_ref):
+            a, b = float(m_ref[k]), float(m_dp[k])
+            assert np.isfinite(b), (k, b)
+            assert np.allclose(a, b, rtol=2e-3, atol=2e-4), (k, a, b)
+        leaves_ref = jax.tree_util.tree_leaves(s_ref.params)
+        leaves_dp = jax.tree_util.tree_leaves(s_dp.params)
+        for lr, ld in zip(leaves_ref, leaves_dp):
+            # the polygon-clip IoU gradients amplify f32 reduction-order
+            # noise slightly more than the HBB step (observed max 4e-4)
+            np.testing.assert_allclose(np.asarray(lr), np.asarray(ld),
+                                       rtol=2e-3, atol=8e-4)
+        np.testing.assert_allclose(np.asarray(s_ref.refined_points),
+                                   np.asarray(s_dp.refined_points),
+                                   rtol=1e-3, atol=1e-3)
