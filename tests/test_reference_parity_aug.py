@@ -187,3 +187,33 @@ def test_rotated_strong_augmentation_matches_reference(direction, scale, angle,
     np.testing.assert_allclose(ours_rb[:, :2], t_rb[:, :2], atol=1e-3)
     np.testing.assert_allclose(np.sort(ours_rb[:, 2:4], -1),
                                np.sort(t_rb[:, 2:4], -1), rtol=1e-4, atol=1e-3)
+
+
+def test_rotate_image_follows_coordinate_law():
+    """The image warp must be the inverse of the coordinate law: a bright
+    pixel placed at p lands (NEAREST) where _rotate_coords maps p, and
+    out-of-frame sources are fill-0 — the torchvision TF.rotate contract the
+    reference relies on (syn_images_generator_v2.py OBB :265)."""
+    from point_teacher_tpu.core.raugment import (_rotate_coords,
+                                                 _rotate_image_nearest)
+
+    h = w = 64
+    rng = np.random.RandomState(11)
+    for angle in (3.0, 11.0, 19.0):
+        rad = -angle * np.pi / 180.0  # coordinate law rotation
+        img = np.zeros((h, w, 3), np.float32)
+        pts = np.stack([rng.uniform(12, 52, 6) // 1 * 1, 
+                        rng.uniform(12, 52, 6) // 1 * 1],
+                       -1).astype(np.float32)
+        # paint 3x3 blocks: a lone pixel can legitimately vanish under a
+        # NEAREST inverse warp (no dest sample rounds into it), a block can't
+        for i, (x, y) in enumerate(pts):
+            img[int(y) - 1:int(y) + 2, int(x) - 1:int(x) + 2] = 100.0 + i
+        out = np.asarray(_rotate_image_nearest(jnp.asarray(img), -rad, h, w))
+        moved = np.asarray(_rotate_coords(jnp.asarray(pts + 0.5), rad, h, w))
+        for i, (mx, my) in enumerate(moved):
+            xi, yi = int(np.floor(mx)), int(np.floor(my))
+            patch = out[max(yi - 2, 0):yi + 3, max(xi - 2, 0):xi + 3]
+            assert (np.abs(patch - (100.0 + i)) < 1e-6).any(), (angle, i)
+        # fill-0 corners appear once rotation uncovers them
+        assert (out[0, :6].sum(-1) == 0).any() or (out[:6, 0].sum(-1) == 0).any()
