@@ -58,7 +58,16 @@ def sodaa_eval_mod():
 
 def _make_scene(seed, n_imgs=5, cats=9):
     """Random rotated GTs across the size buckets + detections = jittered GTs
-    with random scores, plus background noise dets."""
+    with random scores, plus background noise dets.
+
+    The FIRST GT of image 0 is a decoy in a far corner that no detection
+    matches: the reference evaluator stores gt['id'] in dtMatches and tests
+    "matched" as > 0, but its insId starts at 0 — a detection matched to the
+    dataset's first annotation is miscounted as a false positive (a REAL
+    reference bug, sodaa_eval.py:418/_prepare:116; upstream pycocotools is
+    immune because COCO ann ids start at 1). The decoy keeps gt id 0 unmatched
+    in both evaluators so the differential compares the intended semantics.
+    """
     r = np.random.RandomState(seed)
     annotations, dets_ours, results_ref = [], [], []
     for i in range(n_imgs):
@@ -73,7 +82,13 @@ def _make_scene(seed, n_imgs=5, cats=9):
         ang = r.uniform(-np.pi / 2, np.pi / 2 - 1e-3, g)
         gts = np.stack([cx, cy, w, h, ang], -1).astype(np.float32)
         labels = r.randint(0, cats, g).astype(np.int64)
-        annotations.append(dict(bboxes=gts, labels=labels))
+        if i == 0:
+            decoy = np.array([[3.0, 3.0, 4.0, 4.0, 0.0]], np.float32)
+            ann_gts = np.concatenate([decoy, gts])
+            ann_labels = np.concatenate([[0], labels]).astype(np.int64)
+        else:
+            ann_gts, ann_labels = gts, labels
+        annotations.append(dict(bboxes=ann_gts, labels=ann_labels))
 
         # detections: jittered copies (some dropped) + noise
         keep = r.uniform(0, 1, g) > 0.15
@@ -104,11 +119,12 @@ def _make_scene(seed, n_imgs=5, cats=9):
     return annotations, dets_ours, results_ref
 
 
-def test_sodaa_eval_matches_reference(sodaa_eval_mod, capsys):
+@pytest.mark.parametrize("seed", [0, 3])
+def test_sodaa_eval_matches_reference(sodaa_eval_mod, capsys, seed):
     from point_teacher_tpu.evalx.sodaa import SODAA_AREA_RNGS, sodaa_evaluate
 
     cats = 9
-    annotations, dets_ours, results_ref = _make_scene(0)
+    annotations, dets_ours, results_ref = _make_scene(seed)
 
     ref = sodaa_eval_mod.SODAAeval(annotations, results_ref, numCats=cats,
                                    nproc=0)
