@@ -250,3 +250,31 @@ def load_torch_resnet50_into(params, ckpt_path: str):
 
     merge(dst, backbone)
     return params
+
+
+def load_reference_ts_checkpoint(params, ckpt_path: str, branch: str = "teacher",
+                                 rotated: bool = False, num_stages: int = 1):
+    """Load one branch of a REFERENCE Point-Teacher checkpoint (.pth).
+
+    The reference saves the whole TS wrapper as one state_dict with the
+    teacher and student registered as 'teacher.*' / 'student.*' submodules
+    (fcos_p2b_teacher_student.py:60-61, rotated_fcos_teacher_student.py:69-70);
+    inference runs the teacher (simple_test, :276-298). This opens the
+    released checkpoints for direct inference parity the day they are
+    mounted: `tools/test.py <cfg> --torch-ckpt <ref.pth>`.
+    """
+    import torch
+
+    raw = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    sd = raw.get("state_dict", raw.get("model", raw)) if isinstance(raw, dict) else raw
+    prefix = branch + "."
+    if not any(k.startswith(prefix) for k in sd):
+        # also accept a bare Student_FCOS state_dict (no TS wrapper)
+        if any(k.startswith("backbone.") for k in sd):
+            prefix = ""
+        else:
+            raise KeyError(
+                f"no '{prefix}*' keys in {ckpt_path}; top-level keys look like "
+                f"{sorted(sd)[:3]}...")
+    loader = load_torch_rotated_detector_into if rotated else load_torch_detector_into
+    return loader(params, sd, prefix=prefix, num_stages=num_stages)

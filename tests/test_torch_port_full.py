@@ -136,3 +136,41 @@ def test_mil_tower_forward_equivalence(torch_modules, flax_side):
                                atol=1e-4)
     np.testing.assert_allclose(np.asarray(j_ins), t_ins.numpy(), rtol=1e-4,
                                atol=1e-4)
+
+
+def test_load_reference_ts_checkpoint_cli_path(torch_modules, tmp_path):
+    """A TS-wrapper .pth (teacher.* + student.* branches, reference layout)
+    loads through load_reference_ts_checkpoint — the tools/test.py
+    --torch-ckpt path — and selects the requested branch."""
+    from test_torch_port import _fake_torch_resnet50_state
+
+    from point_teacher_tpu.utils.torch_port import (
+        load_reference_ts_checkpoint, load_torch_detector_into)
+
+    fpn, ps, head = torch_modules
+    branch_sd = dict(_fake_torch_resnet50_state())
+    # mmdet registers submodules as backbone./neck./neck_agg./bbox_head.
+    branch_sd = {"backbone." + k: v for k, v in branch_sd.items()}
+    for mod, pre in ((fpn, "neck."), (ps, "neck_agg."), (head, "bbox_head.")):
+        for k, v in mod.state_dict().items():
+            branch_sd[pre + k] = v
+    ts_sd = {}
+    for k, v in branch_sd.items():
+        ts_sd["teacher." + k] = v
+        ts_sd["student." + k] = v * 0  # decoy: zeros must NOT be loaded
+    path = str(tmp_path / "ref_ts.pth")
+    torch.save({"state_dict": ts_sd, "meta": {"mmdet_version": "2.24.0"}}, path)
+
+    model = StudentFCOS(num_classes=8, dtype=jnp.float32)
+    params = model.init(jax.random.PRNGKey(0), jnp.zeros((1, 64, 64, 3)),
+                        jnp.zeros((1, 7, 7, 256)), method=StudentFCOS.init_all)
+    got = load_reference_ts_checkpoint(params, path, branch="teacher")
+    want = load_torch_detector_into(params, ts_sd, prefix="teacher.")
+    flat_g = jax.tree_util.tree_leaves_with_path(got)
+    flat_w = dict(jax.tree_util.tree_leaves_with_path(want))
+    assert flat_g and len(flat_g) == len(flat_w)
+    nonzero = 0
+    for p, leaf in flat_g:
+        np.testing.assert_array_equal(np.asarray(leaf), np.asarray(flat_w[p]))
+        nonzero += np.any(np.asarray(leaf) != 0)
+    assert nonzero > 100  # the zeroed student decoy was not the branch loaded

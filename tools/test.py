@@ -31,6 +31,10 @@ def parse_args():
     ap.add_argument("--synthetic-data", type=int, default=0)
     ap.add_argument("--student", action="store_true",
                     help="evaluate the student instead of the teacher")
+    ap.add_argument("--torch-ckpt", default=None,
+                    help="load a REFERENCE PyTorch TS checkpoint (.pth) via the "
+                         "weight port instead of a native checkpoint (the "
+                         "teacher branch, or student with --student)")
     ap.add_argument("--out", help="write detections (npz)")
     ap.add_argument("--tta-scales", default=None, metavar="S1,S2",
                     help="comma-separated square canvas sizes for multi-scale "
@@ -87,7 +91,16 @@ def main():
             jnp.zeros((1, 7, 7, 256)), method=model_cls.init_all,
         )
 
-    if args.checkpoint:
+    if args.torch_ckpt:
+        from point_teacher_tpu.utils.torch_port import load_reference_ts_checkpoint
+
+        eval_params = load_reference_ts_checkpoint(
+            params, args.torch_ckpt,
+            branch="student" if args.student else "teacher",
+            rotated=rotated, num_stages=pt.num_stages)
+        print(f"loaded reference torch checkpoint {args.torch_ckpt} "
+              f"({'student' if args.student else 'teacher'} branch)")
+    elif args.checkpoint:
         from point_teacher_tpu.train.optim import make_optimizer
         from point_teacher_tpu.train.state import create_train_state
 
