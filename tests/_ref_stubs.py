@@ -488,3 +488,36 @@ def setup():
     )
     _state["ns"] = ns
     return ns
+
+
+def load_detector():
+    """Load the reference's full TS_P2B_FCOS detector module
+    (fcos_p2b_teacher_student.py) under the stubs, for full-step differential
+    tests. The class is never instantiated — tests bind its unbound methods to
+    a namespace stand-in (the ctor would need build_detector + a backbone);
+    everything its forward_train path touches at import time is stubbed here.
+    Idempotent; call after setup()."""
+    ns = setup()
+    if "det" in _state:
+        return _state["det"]
+    import sys as _sys
+
+    mmdet_core = _sys.modules["mmdet.core"]
+    transforms = _sys.modules["mmdet.core.bbox.transforms"]
+    mmdet_core.bbox2result = transforms.bbox2result
+    _sys.modules["mmdet.core.visualization"].imshow_det_bboxes = (
+        lambda *a, **k: None)
+    builder = _sys.modules["refhbb.models.builder"]
+    for name in ("build_backbone", "build_head", "build_neck", "build_detector"):
+        if not hasattr(builder, name):
+            setattr(builder, name, _raise_stub(name))
+    if not hasattr(builder, "DETECTORS"):
+        builder.DETECTORS = _Registry("detectors")
+
+    importlib.import_module("refhbb.models.detectors.base")
+    importlib.import_module("refhbb.models.detectors.single_stage")
+    det = importlib.import_module(
+        "refhbb.models.detectors.fcos_p2b_teacher_student")
+    _state["det"] = det
+    ns.det = det
+    return det
