@@ -253,7 +253,8 @@ def load_torch_resnet50_into(params, ckpt_path: str):
 
 
 def load_reference_ts_checkpoint(params, ckpt_path: str, branch: str = "teacher",
-                                 rotated: bool = False, num_stages: int = 1):
+                                 rotated: bool = False, num_stages: int = 1,
+                                 allow_pickle: bool = False):
     """Load one branch of a REFERENCE Point-Teacher checkpoint (.pth).
 
     The reference saves the whole TS wrapper as one state_dict with the
@@ -265,12 +266,25 @@ def load_reference_ts_checkpoint(params, ckpt_path: str, branch: str = "teacher"
     """
     import torch
 
-    raw = torch.load(ckpt_path, map_location="cpu", weights_only=False)
+    try:
+        # mmdet checkpoints are plain state_dicts + meta and load fine with
+        # weights_only=True; never unpickle arbitrary code from a released
+        # third-party .pth unless the caller explicitly opts in.
+        raw = torch.load(ckpt_path, map_location="cpu", weights_only=True)
+    except Exception:
+        if not allow_pickle:
+            raise
+        raw = torch.load(ckpt_path, map_location="cpu", weights_only=False)
     sd = raw.get("state_dict", raw.get("model", raw)) if isinstance(raw, dict) else raw
     prefix = branch + "."
     if not any(k.startswith(prefix) for k in sd):
         # also accept a bare Student_FCOS state_dict (no TS wrapper)
         if any(k.startswith("backbone.") for k in sd):
+            import warnings
+            warnings.warn(
+                f"checkpoint {ckpt_path} has no '{prefix}*' keys; loading it as "
+                f"a bare Student_FCOS state_dict — the requested '{branch}' "
+                f"branch does not exist in this file", stacklevel=2)
             prefix = ""
         else:
             raise KeyError(

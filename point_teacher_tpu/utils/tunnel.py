@@ -1,0 +1,82 @@
+"""Health probes for the axon TPU relay tunnel.
+
+On this machine the default JAX backend ("axon") talks to the real TPU chip
+through a local HTTP relay on 127.0.0.1:8083 (CLAUDE.md "Tunnel health
+check"). The relay has THREE observed states:
+
+1. **up** — jax ops run normally;
+2. **fully down** — TCP connect is refused; ``jax.devices()`` raises;
+3. **half-dead** (observed r4) — the relay answers HTTP (even a well-formed
+   ``HTTP/1.0 404``) and ``jax.devices()`` returns the chip, but the FIRST
+   compiled execution hangs forever (no timeout anywhere in the stack).
+
+State 3 means no HTTP/TCP-level probe is sufficient. The only robust check is
+to actually execute a tiny jax op on the default backend in a SUBPROCESS with
+a timeout — the parent process never touches the device, so it cannot hang.
+
+Role model: the reference's benchmark harness always produces its measurement
+(``HBB_TOD/tools/analysis_tools/benchmark.py:90-116``); these probes are what
+let our driver-contract scripts (bench.py, __graft_entry__.py) do the same on
+infrastructure that can wedge.
+"""
+from __future__ import annotations
+
+import os
+import socket
+import subprocess
+import sys
+
+_PROBE_SNIPPET = (
+    "import jax, sys; "
+    "x = jax.numpy.zeros(()) + 1; "
+    "sys.exit(0 if float(x) == 1.0 else 3)"
+)
+
+
+def relay_socket_up(timeout: float = 5.0) -> bool:
+    """Fast check: does the relay accept TCP and send at least one byte back?
+
+    Catches the fully-down state (connection refused) cheaply. A ``True``
+    here does NOT mean the TPU works — see :func:`tpu_op_ok` for the
+    half-dead state.
+    """
+    host = os.environ.get("BENCH_TUNNEL_HOST", "127.0.0.1")
+    port = int(os.environ.get("BENCH_TUNNEL_PORT", "8083"))
+    try:
+        with socket.create_connection((host, port), timeout=timeout) as sk:
+            sk.settimeout(timeout)
+            sk.sendall(b"GET / HTTP/1.0\r\nHost: %b\r\n\r\n" % host.encode())
+            return len(sk.recv(1)) > 0
+    except OSError:
+        return False
+
+
+def tpu_op_ok(timeout: float | None = None) -> bool:
+    """Definitive check: execute one tiny jax op on the default backend in a
+    subprocess, bounded by ``timeout`` seconds.
+
+    This is the only probe that detects the half-dead relay (HTTP answers,
+    ``jax.devices()`` works, execution hangs). Healthy-case cost is one
+    python+jax startup plus a scalar compile over the tunnel (~5-30 s).
+    """
+    if timeout is None:
+        timeout = float(os.environ.get("BENCH_TUNNEL_OP_TIMEOUT", "120"))
+    env = dict(os.environ)
+    # never inherit a CPU-forcing override: we are probing the TPU backend
+    env.pop("JAX_PLATFORMS", None)
+    try:
+        proc = subprocess.run(
+            [sys.executable, "-c", _PROBE_SNIPPET],
+            timeout=timeout, env=env,
+            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+        )
+        return proc.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+    except OSError:
+        return False
+
+
+def tunnel_healthy(op_timeout: float | None = None) -> bool:
+    """Full health check: socket fast-fail, then the subprocess op probe."""
+    return relay_socket_up() and tpu_op_ok(op_timeout)

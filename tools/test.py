@@ -68,6 +68,10 @@ def main():
     pt = cfg["pt"]
     rotated = bool(cfg.get("rotated", False))
     trainer = cfg.get("trainer", "point_teacher")
+    if args.torch_ckpt and trainer == "rfla_fcos":
+        raise SystemExit("--torch-ckpt supports the point_teacher trainer "
+                         "only (the loader expects the Student_FCOS param "
+                         "tree, not RFLAFCOS)")
     rng = jax.random.PRNGKey(0)
     model_kw = {k: v for k, v in cfg.get("model", {}).items()
                 if k in ("depth", "backbone_style")}
