@@ -11,10 +11,15 @@ cfg = dict(
     rotated=True,
     dataset=dict(
         type="SODAADataset",
-        train_ann="data/SODA-A/divData/train/Annotations/train.json",
+        # SODAADataset takes the per-patch annotation FOLDERS of the divData
+        # layout plus the raw (undivided) val annotations for the patch-merge
+        # eval — mirrors OBB_TOD/configs/_base_/datasets/sodaa.py:36-48
+        # (ann_file=divData/<split>/Annotations/, ori_ann_file=rawData/...)
+        train_ann="data/SODA-A/divData/train/Annotations/",
         train_img_prefix="data/SODA-A/divData/train/Images/",
-        val_ann="data/SODA-A/divData/val/Annotations/val.json",
+        val_ann="data/SODA-A/divData/val/Annotations/",
         val_img_prefix="data/SODA-A/divData/val/Images/",
+        ori_val_ann="data/SODA-A/rawData/val/Annotations",
         img_norm=dict(mean=(123.675, 116.28, 103.53), std=(58.395, 57.12, 57.375),
                       to_rgb=True),
     ),

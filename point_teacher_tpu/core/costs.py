@@ -89,6 +89,29 @@ def cross_entropy_cost(cls_logits: Array, gt_onehot: Array, weight: float = 1.0)
     return cost / n * weight
 
 
+def sigmoid_ce_cost(cls_logits: Array, gt_labels: Array, weight: float = 1.0) -> Array:
+    """SigmoidCECost (Supplement_config/bbox/match_costs/match_cost.py:196):
+    -sigmoid(cls)[:, labels] — the DETR-style 1 - p approximation with the
+    constant dropped. [P, G]."""
+    score = jax.nn.sigmoid(cls_logits)
+    safe = jnp.clip(gt_labels, 0, cls_logits.shape[-1] - 1)
+    return -score[:, safe] * weight
+
+
+def riou_cost(pred_rb: Array, gt_rb: Array, weight: float = 1.0) -> Array:
+    """RIoUCost (Supplement_config/bbox/match_costs/match_cost.py:263):
+    -rotated_overlaps(pred, gt). Boxes are (cx, cy, w, h, a); a trailing
+    score column (6-dim) is dropped as in RRBboxOverlaps2D. [P, G]."""
+    from ..ops.rotated import rbox_iou
+
+    p = pred_rb[:, :5]
+    g = gt_rb[:, :5]
+    pm = jnp.broadcast_to(p[:, None, :], (p.shape[0], g.shape[0], 5)).reshape(-1, 5)
+    gm = jnp.broadcast_to(g[None, :, :], (p.shape[0], g.shape[0], 5)).reshape(-1, 5)
+    ious = rbox_iou(pm, gm, aligned=True).reshape(p.shape[0], g.shape[0])
+    return -ious * weight
+
+
 def insider_cost(pred_cxcywh: Array, gt_points: Array, weight: float = 1.0) -> Array:
     """0 if the gt point is inside the predicted box else 1. [P, G]."""
     x1 = pred_cxcywh[:, 0] - pred_cxcywh[:, 2] / 2

@@ -88,6 +88,8 @@ def mil_stage_rotated(
     neg_key,
     with_bags_loss: bool,
     roi_chunk: int = 1024,
+    window: int = 16,
+    grouped: bool = True,
 ):
     """Rotated MIL stage (rotated_fcos_head_p2rb_ts.py mil_bag_* :1198-1365).
 
@@ -129,11 +131,14 @@ def mil_stage_rotated(
     )
 
     def pool(feat, rr):
-        # per-roi windowed pool (negatives only: scattered, ungrouped).
+        # per-roi windowed pool (negatives, and the grouped=False fallback).
         # window=16 cells = 128px coverage — SODA-A objects top out near 45px
         # (Normal split <= 2000px^2); larger boxes clamp to the window border.
+        # Per-roi the window is centred on EACH roi, so it only bites when a
+        # single box exceeds window*stride px (vs the grouped pool, which also
+        # bites when members drift from the group centre).
         return roi_align_rotated_matmul(feat, rr, out_size=7, spatial_scale=1.0 / 8,
-                                        chunk=256, window=16)
+                                        chunk=256, window=window)
 
     def gpool(feat, rr, centers):
         # grouped shared-window rotated pool, single-shot (chunk=G: the
@@ -145,11 +150,16 @@ def mil_stage_rotated(
         # per-axis AABB — beyond the whole SODA-A range (<=45px * ratio 1.3).
         # Measured at the step geometry (B=4, G=48, U=25, 150x150x256 bf16):
         # 16.8 ms fwd+bwd vs 60.2 for the per-roi windowed pool (NOTES_r3).
+        # `grouped=False` (cfg.mil_pool_grouped) selects the per-roi path —
+        # the fallback when a dataset breaks the group-window assumption.
         from ..ops.roi_align import roi_align_rotated_grouped
 
+        if not grouped:
+            return pool(feat, rr.reshape(-1, 5)).reshape(
+                rr.shape[0], rr.shape[1], 7, 7, -1)
         return roi_align_rotated_grouped(feat, rr, centers, out_size=7,
                                          spatial_scale=1.0 / 8,
-                                         chunk=rr.shape[0], window=16)
+                                         chunk=rr.shape[0], window=window)
 
     gctr = rboxes[..., :2]  # [B, G, 2]
     roi_feats = jax.vmap(gpool)(
@@ -195,9 +205,9 @@ def mil_stage_rotated(
             + jnp.abs(rb5[..., 3] * jnp.cos(rb5[..., 4]))) / 2
     aabb = jnp.stack([rb5[..., 0] - hw_x, rb5[..., 1] - hw_y,
                       rb5[..., 0] + hw_x, rb5[..., 1] + hw_y], -1)
-    cls_pool_coverage = _group_window_coverage(
+    cls_pool_coverage = (jnp.ones(()) if not grouped else _group_window_coverage(
         aabb, ext_valid.reshape(b, g, u1 * u2), pctr,
-        (mil_feat.shape[1], mil_feat.shape[2]), window=16)
+        (mil_feat.shape[1], mil_feat.shape[2]), window=window))
     roi_feats_cls = jax.vmap(gpool)(
         mil_feat, rb5, pctr
     ).reshape(b, n, 7, 7, -1)
@@ -282,6 +292,8 @@ def mil_stage(
     neg_key: Optional[Array],
     with_bags_loss: bool,
     roi_chunk: int = 256,  # covers gen_num_neg=200 single-shot (no lax.map)
+    window: int = 32,
+    grouped: bool = True,
 ):
     """One MIL refinement stage over a batch.
 
@@ -331,10 +343,17 @@ def mil_stage(
         # window=32 (256px at stride 8) is exact for reference boxes up to
         # ~100px — the AI-TOD object range with margin; larger (degenerate
         # early-training pseudo) boxes clamp samples to the window border.
+        # `grouped=False` (cfg.mil_pool_grouped) selects the exact per-roi
+        # path instead — the fallback when a dataset breaks the window
+        # assumption (cls_pool_coverage < 1 in the logs).
         # Measured at the step geometry (B=8, G=100, U=25, 100x100x256 bf16):
         # 31.5 ms fwd+bwd vs 53.6 for the full-map matmul (NOTES_r3).
+        if not grouped:
+            return pool(feat, rois.reshape(-1, 4)).reshape(
+                rois.shape[0], rois.shape[1], 7, 7, -1)
         return roi_align_grouped(feat, rois, centers, out_size=7,
-                                 spatial_scale=1.0 / 8, chunk=gchunk, window=32)
+                                 spatial_scale=1.0 / 8, chunk=gchunk,
+                                 window=window)
 
     ctrs = xyxy_to_cxcywh(boxes)[..., :2]  # [B, G, 2] group window origins
     roi_feats = jax.vmap(gpool)(
@@ -374,9 +393,9 @@ def mil_stage(
     pm = ext_valid.reshape(b, g, u1 * u2, 1).astype(pc.dtype)
     pcnt = pm.sum(2)
     pctr = jnp.where(pcnt > 0, (pc * pm).sum(2) / jnp.maximum(pcnt, 1.0), ctrs)
-    cls_pool_coverage = _group_window_coverage(
+    cls_pool_coverage = (jnp.ones(()) if not grouped else _group_window_coverage(
         pred_d.reshape(b, g, u1 * u2, 4), ext_valid.reshape(b, g, u1 * u2),
-        pctr, (mil_feat.shape[1], mil_feat.shape[2]), window=32)
+        pctr, (mil_feat.shape[1], mil_feat.shape[2]), window=window))
     roi_feats_cls = jax.vmap(gpool)(
         mil_feat, pred_d.reshape(b, g, u1 * u2, 4), pctr
     ).reshape(b, n, 7, 7, -1)

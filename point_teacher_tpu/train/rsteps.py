@@ -67,6 +67,7 @@ def _run_rmil_stages(model, params, mil_feat, rboxes, labels, valid, real_rboxes
             cfg.fine_proposal_cfg[stage], cfg.fine_proposal_extensive_cfg[stage],
             stage, hw, cfg.top_k, cfg.beta, cfg.dn_hyper_denoising,
             sub, with_bags,
+            window=cfg.mil_pool_window_rotated, grouped=cfg.mil_pool_grouped,
         )
         metrics[f"stage{stage}_loss_mil_bbox"] = out.loss_mil_bbox * cfg.alpha[0]
         metrics[f"stage{stage}_coarse_bags_iou"] = out.coarse_bags_iou

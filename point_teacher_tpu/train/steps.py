@@ -100,6 +100,7 @@ def _run_mil_stages(model, params, mil_feat, boxes, labels, valid, real_boxes,
             cfg.fine_proposal_cfg[stage], cfg.fine_proposal_extensive_cfg[stage],
             stage, hw, cfg.top_k, cfg.beta, cfg.dn_hyper_denoising,
             sub, with_bags,
+            window=cfg.mil_pool_window, grouped=cfg.mil_pool_grouped,
         )
         metrics[f"{prefix}stage{stage}_loss_mil_bbox"] = out.loss_mil_bbox * cfg.alpha[0]
         metrics[f"{prefix}stage{stage}_coarse_bags_iou"] = out.coarse_bags_iou

@@ -44,15 +44,33 @@ class TrainLogger:
     def step(self, step: int, epoch: int, metrics: Dict[str, float], lr: float = 0.0):
         self.buffer.update(metrics)
         if step % self.interval == 0:
-            avg = self.buffer.averages()
-            dt = time.time() - self._t0
-            self._t0 = time.time()
-            loss_keys = [k for k in avg if "loss" in k]
-            msg = ", ".join(f"{k}: {avg[k]:.4f}" for k in sorted(loss_keys))
-            print(f"Epoch [{epoch}] Iter [{step}] lr: {lr:.2e}, "
-                  f"time: {dt / max(self.interval, 1):.3f}s/it, {msg}", flush=True)
-            if self.jsonl:
-                rec = dict(mode="train", epoch=epoch, iter=step, lr=lr, **avg)
-                self.jsonl.write(json.dumps(rec) + "\n")
-                self.jsonl.flush()
-            self.buffer.clear()
+            self.emit(step, epoch, lr)
+
+    def emit(self, step: int, epoch: int, lr: float = 0.0):
+        """Write the averaged buffer now (the TextLoggerHook also fires at
+        epoch end regardless of the iter interval — mmcv hook by_epoch path).
+        No-op when nothing has been buffered since the last write."""
+        if not self.buffer._counts:
+            return
+        avg = self.buffer.averages()
+        dt = time.time() - self._t0
+        self._t0 = time.time()
+        loss_keys = [k for k in avg if "loss" in k]
+        msg = ", ".join(f"{k}: {avg[k]:.4f}" for k in sorted(loss_keys))
+        n = max(next(iter(self.buffer._counts.values()), 1), 1)
+        print(f"Epoch [{epoch}] Iter [{step}] lr: {lr:.2e}, "
+              f"time: {dt / n:.3f}s/it, {msg}", flush=True)
+        if self.jsonl:
+            rec = dict(mode="train", epoch=epoch, iter=step, lr=lr, **avg)
+            self.jsonl.write(json.dumps(rec) + "\n")
+            self.jsonl.flush()
+        self.buffer.clear()
+
+    def val(self, step: int, epoch: int, metrics: Dict[str, float], lr: float = 0.0):
+        """Write a mode="val" record immediately (mmcv EvalHook logs every
+        evaluation regardless of the train-iter interval)."""
+        if self.jsonl:
+            rec = dict(mode="val", epoch=epoch, iter=step, lr=lr,
+                       **{k: float(v) for k, v in metrics.items()})
+            self.jsonl.write(json.dumps(rec) + "\n")
+            self.jsonl.flush()

@@ -490,6 +490,62 @@ def setup():
     return ns
 
 
+def load_supplement_costs():
+    """Load Supplement_config/bbox/match_costs/match_cost.py in place (the
+    drop-in files the reference README installs into external baseline repos;
+    Supplement_config/aitodv2_p2bnet_two_stage.py:13 names the model classes,
+    which are NOT implemented in the reference tree — PARITY.md adjudication).
+    Exposes the two classes that exist nowhere else: SigmoidCECost and
+    RIoUCost (rotated-IoU match cost via rrbbox_overlaps -> box_iou_rotated,
+    bridged here to a cv2 oracle). Idempotent; call after setup()."""
+    ns = setup()
+    if "supp_mc" in _state:
+        return _state["supp_mc"]
+    import sys as _sys
+
+    import numpy as np
+    import torch
+
+    def box_iou_rotated_cv2(b1, b2, mode="iou", aligned=False):
+        import cv2
+
+        a = b1.detach().cpu().numpy()
+        b = b2.detach().cpu().numpy()
+        assert mode == "iou" and not aligned
+        out = np.zeros((a.shape[0], b.shape[0]), np.float32)
+        for i in range(a.shape[0]):
+            r1 = ((float(a[i, 0]), float(a[i, 1])),
+                  (float(a[i, 2]), float(a[i, 3])), float(np.degrees(a[i, 4])))
+            for j in range(b.shape[0]):
+                r2 = ((float(b[j, 0]), float(b[j, 1])),
+                      (float(b[j, 2]), float(b[j, 3])),
+                      float(np.degrees(b[j, 4])))
+                ret, pts = cv2.rotatedRectangleIntersection(r1, r2)
+                inter = float(cv2.contourArea(pts)) if pts is not None else 0.0
+                union = float(a[i, 2] * a[i, 3] + b[j, 2] * b[j, 3]) - inter
+                out[i, j] = inter / max(union, 1e-6)
+        return torch.from_numpy(out)
+
+    _sys.modules["mmcv.ops"].box_iou_rotated = box_iou_rotated_cv2
+
+    _pkg("refsupp.bbox.iou_calculators",
+         "/root/reference/Supplement_config/bbox/iou_calculators")
+    _pkg("refsupp.bbox.match_costs",
+         "/root/reference/Supplement_config/bbox/match_costs")
+    importlib.import_module("refsupp.bbox.iou_calculators.builder")
+    supp_iou = importlib.import_module(
+        "refsupp.bbox.iou_calculators.iou2d_calculator")
+    # bridge the names the Supplement match_cost.py absolute-imports
+    iou_pkg = _sys.modules["mmdet.core.bbox.iou_calculators"]
+    iou_pkg.RRBboxOverlaps2D = supp_iou.RRBboxOverlaps2D
+    iou_pkg.rrbbox_overlaps = supp_iou.rrbbox_overlaps
+    importlib.import_module("refsupp.bbox.match_costs.builder")
+    supp_mc = importlib.import_module("refsupp.bbox.match_costs.match_cost")
+    _state["supp_mc"] = supp_mc
+    ns.supp_mc = supp_mc
+    return supp_mc
+
+
 def load_detector():
     """Load the reference's full TS_P2B_FCOS detector module
     (fcos_p2b_teacher_student.py) under the stubs, for full-step differential

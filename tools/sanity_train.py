@@ -231,6 +231,7 @@ def main():
     dataset = [make_batch(r, args.batch, args.img, args.gt, args.classes)
                for _ in range(n_data_batches)]
     peak_phase2_ap = -1.0
+    min_pool_coverage = 1.0  # grouped MIL pool window-coverage gate
     for i in range(args.steps):
         bi = i % n_data_batches
         img, boxes, labels = dataset[bi]
@@ -241,6 +242,9 @@ def main():
                                   dtype=jnp.int32),
         )
         state, metrics = step(state, batch, phase1=(i <= cfg.burn_in_step))
+        for k in metrics:
+            if k.endswith("cls_pool_coverage"):
+                min_pool_coverage = min(min_pool_coverage, float(metrics[k]))
         if i % 20 == 0:
             extra = ""
             if "coarse_bboxes_iou" in metrics:
@@ -266,6 +270,12 @@ def main():
         print(f"AP@0.25 after {args.steps} steps (teacher): {teacher_ap:.4f}")
     ok = student_ap > ap0 + 0.02
     print("LEARNING:", "OK" if ok else "NOT IMPROVING")
+    if args.trainer != "fcos":
+        # grouped-pool approximation guard: the shared-window MIL pool is
+        # exact only while cls_pool_coverage stays ~1.0 (train/mil.py); a
+        # closed loop that drives boxes beyond the window must fail loudly
+        # rather than silently train on border-clamped features.
+        print(f"MIN cls_pool_coverage over run: {min_pool_coverage:.4f}")
     if args.assert_no_collapse and args.trainer != "fcos":
         final_t = teacher_ap
         collapsed = peak_phase2_ap > 0.05 and final_t < 0.5 * peak_phase2_ap
@@ -273,6 +283,12 @@ def main():
               f"final={final_t:.4f} -> {'COLLAPSED' if collapsed else 'STABLE'}")
         if collapsed:
             return 2
+        if min_pool_coverage < 0.98:
+            print(f"POOL COVERAGE GATE: min cls_pool_coverage "
+                  f"{min_pool_coverage:.4f} < 0.98 — grouped-pool window "
+                  f"assumption violated (widen mil_pool_window or set "
+                  f"mil_pool_grouped=False)")
+            return 3
     return 0 if ok else 1
 
 

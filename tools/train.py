@@ -234,7 +234,7 @@ def main():
             val_state["infer"], cur_state.teacher_params, pt, cfg, rotated=rotated,
             synthetic_n=args.synthetic_data, quiet=True,
         )
-        logger.step(cur_step, epoch_no, {"val_mAP": ap_}, lr=float(schedule(cur_step)))
+        logger.val(cur_step, epoch_no, {"val_mAP": ap_}, lr=float(schedule(cur_step)))
         print(f"epoch {epoch_no}: val mAP = {ap_:.4f}"
               + (f" (best {val_state['best']:.4f})" if val_state["best"] >= 0 else ""))
         if ap_ > val_state["best"]:
@@ -291,6 +291,7 @@ def main():
                 break
         if not stop:
             state, step = run_pending(state, step)
+        logger.emit(step, epoch + 1, lr=float(schedule(step)))
         if args.val_interval and ((epoch + 1) % args.val_interval == 0 or stop):
             run_validation(state, epoch + 1, step)
         if (epoch + 1) % args.ckpt_interval == 0 or stop:
