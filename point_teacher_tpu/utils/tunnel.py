@@ -25,6 +25,7 @@ import os
 import socket
 import subprocess
 import sys
+import time
 
 _PROBE_SNIPPET = (
     "import jax, sys; "
@@ -51,30 +52,44 @@ def relay_socket_up(timeout: float = 5.0) -> bool:
         return False
 
 
-def tpu_op_ok(timeout: float | None = None) -> bool:
+def tpu_op_ok(timeout: float | None = None, attempts: int | None = None,
+              retry_sleep: float = 20.0) -> bool:
     """Definitive check: execute one tiny jax op on the default backend in a
-    subprocess, bounded by ``timeout`` seconds.
+    subprocess, bounded by ``timeout`` seconds per attempt.
 
     This is the only probe that detects the half-dead relay (HTTP answers,
     ``jax.devices()`` works, execution hangs). Healthy-case cost is one
-    python+jax startup plus a scalar compile over the tunnel (~5-30 s).
+    python+jax startup plus a scalar compile over the tunnel (~4-15 s
+    measured). The relay transiently wedges for tens of seconds right after
+    a heavy client disconnects (observed r4: back-to-back bench runs — the
+    second probe failed twice while manual probes succeeded a minute later),
+    so a failed attempt is retried before declaring the tunnel dead.
     """
     if timeout is None:
-        timeout = float(os.environ.get("BENCH_TUNNEL_OP_TIMEOUT", "120"))
+        # degraded-but-alive relay states run a scalar probe in 78-120+s
+        # (observed r4); keep the per-attempt budget above that
+        timeout = float(os.environ.get("BENCH_TUNNEL_OP_TIMEOUT", "240"))
+    if attempts is None:
+        attempts = int(os.environ.get("BENCH_TUNNEL_OP_ATTEMPTS", "2"))
     env = dict(os.environ)
     # never inherit a CPU-forcing override: we are probing the TPU backend
     env.pop("JAX_PLATFORMS", None)
-    try:
-        proc = subprocess.run(
-            [sys.executable, "-c", _PROBE_SNIPPET],
-            timeout=timeout, env=env,
-            stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
-        )
-        return proc.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
-    except OSError:
-        return False
+    for i in range(max(attempts, 1)):
+        if i:
+            time.sleep(retry_sleep)
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", _PROBE_SNIPPET],
+                timeout=timeout, env=env,
+                stdout=subprocess.DEVNULL, stderr=subprocess.DEVNULL,
+            )
+            if proc.returncode == 0:
+                return True
+        except subprocess.TimeoutExpired:
+            pass
+        except OSError:
+            pass
+    return False
 
 
 def tunnel_healthy(op_timeout: float | None = None) -> bool:
