@@ -194,16 +194,22 @@ def main():
     else:
         k = 1
 
-    # warmup/compile (float() forces a value fetch — on the tunnel backend
-    # block_until_ready alone can return early under concurrent processes)
+    # warmup/compile. float() forces a VALUE fetch: on the tunnel backend
+    # block_until_ready can return early (CLAUDE.md measurement protocol —
+    # observed r4: a block_until_ready-timed run "measured" 2042 imgs/s).
+    # The scan superstep keeps the ~30 ms fetch RTT amortised over k steps.
+    def fetch(m):
+        # value fetch (scan supersteps carry [k]-vector metrics)
+        return float(np.asarray(m["total_loss"]).ravel()[-1])
+
     state, metrics = step(state, batch, phase1=phase1)
-    jax.block_until_ready(metrics["total_loss"])
+    assert np.isfinite(fetch(metrics)), "non-finite warmup loss"
 
     times = []
     for _ in range(args.steps):
         t0 = time.perf_counter()
         state, metrics = step(state, batch, phase1=phase1)
-        jax.block_until_ready(metrics["total_loss"])
+        fetch(metrics)
         times.append(time.perf_counter() - t0)
     med = float(np.median(times))
     imgs_per_sec = args.batch * k / med

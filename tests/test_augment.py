@@ -88,3 +88,20 @@ def test_rotated_strong_augment():
     r = np.asarray(out.pseudo_rboxes)
     assert (r[..., 2] > 0).all() and (r[..., 3] > 0).all()
     assert np.isfinite(r).all()
+
+
+def test_rotate_images_nearest_matches_per_image():
+    """The batch-flattened rotate gather (perf restructure) is bit-identical
+    to the per-image law the coordinate tests pin."""
+    import jax
+
+    from point_teacher_tpu.core.raugment import (
+        _rotate_image_nearest, rotate_images_nearest)
+
+    rng = np.random.RandomState(0)
+    b, s = 3, 96
+    imgs = jnp.asarray(rng.randint(0, 255, (b, s, s, 3)).astype(np.float32))
+    rads = jnp.asarray([0.05, -0.31, 0.33], jnp.float32)
+    got = rotate_images_nearest(imgs, rads)
+    want = jax.vmap(lambda im, r: _rotate_image_nearest(im, r, s, s))(imgs, rads)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))

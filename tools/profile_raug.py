@@ -10,7 +10,11 @@ Tunnel-safe protocol (CLAUDE.md): K reps inside one jit via lax.scan with a
 data-dependent carry; report (T_K - T_1)/(K - 1).
 """
 import argparse
+import os
+import sys
 import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 import jax
 import jax.numpy as jnp

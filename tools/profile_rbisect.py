@@ -19,13 +19,15 @@ jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
 
 
 def timeit(step, state, batch, n=6):
-    out = step(state, batch, phase1=True)
-    float(out[1]["total_loss"])
+    # donated step: thread the returned state (two live copies of the train
+    # state no longer fit at the HEAD 1200px geometry — r4 OOM)
+    state, m = step(state, batch, phase1=True)
+    float(m["total_loss"])
     ts = []
     for _ in range(n):
         t0 = time.perf_counter()
-        out = step(state, batch, phase1=True)
-        float(out[1]["total_loss"])
+        state, m = step(state, batch, phase1=True)
+        float(m["total_loss"])
         ts.append(time.perf_counter() - t0)
     return float(np.median(ts)) * 1e3
 
@@ -63,7 +65,7 @@ def main():
 
     def build():
         from point_teacher_tpu.train.rsteps import build_rotated_train_step
-        return build_rotated_train_step(model, tx, cfg, donate=False)
+        return build_rotated_train_step(model, tx, cfg, donate=True)
 
     originals = {
         k: getattr(rsteps_mod, k)
@@ -127,7 +129,10 @@ def main():
         for k, v in patches.items():
             setattr(rsteps_mod, k, v)
         try:
-            t = timeit(build(), state, batch)
+            # fresh state per variant: the donated step consumes its input
+            vstate = create_train_state(params, tx, num_images=64, max_gt=g,
+                                        rng=rng)
+            t = timeit(build(), vstate, batch)
             d = "" if base is None else f"   (delta {base - t:+8.1f} ms)"
             if base is None:
                 base = t
