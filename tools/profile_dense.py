@@ -79,7 +79,18 @@ def main():
     ap.add_argument("--img", type=int, default=800)
     ap.add_argument("--frozen-stages", type=int, default=1)
     ap.add_argument("--calib-only", action="store_true")
+    ap.add_argument("--cpu", action="store_true",
+                    help="force the CPU backend (functional check only — "
+                         "throughput numbers are meaningless off-TPU)")
+    ap.add_argument("--rotated", action="store_true",
+                    help="profile the SODA-A rotated dense core instead "
+                         "(StudentRotatedFCOS: GN(32) towers, angle branch). "
+                         "Use --img 1200 --batch 12 for the 3-view phase-1 "
+                         "geometry. Adds a tower_gn=False A/B to price the "
+                         "GroupNorm layers.")
     args = ap.parse_args()
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
 
     s, b = args.img, args.batch
     r = np.random.RandomState(0)
@@ -114,28 +125,43 @@ def main():
     if args.calib_only:
         return
 
-    from point_teacher_tpu.models.detector import StudentFCOS
-
     rng = jax.random.PRNGKey(0)
-    model = StudentFCOS(num_classes=8, frozen_stages=args.frozen_stages,
-                        dtype=jnp.bfloat16)
-    params = model.init(rng, jnp.zeros((1, s, s, 3)), jnp.zeros((1, 7, 7, 256)),
-                        method=StudentFCOS.init_all)
+    if args.rotated:
+        from point_teacher_tpu.models.rotated_detector import StudentRotatedFCOS
+
+        def mk(**kw):
+            m = StudentRotatedFCOS(num_classes=9,
+                                   frozen_stages=args.frozen_stages,
+                                   dtype=jnp.bfloat16, **kw)
+            p = m.init(rng, jnp.zeros((1, s, s, 3)), jnp.zeros((1, 7, 7, 256)),
+                       method=StudentRotatedFCOS.init_all)
+            return m, p
+
+        model, params = mk()
+    else:
+        from point_teacher_tpu.models.detector import StudentFCOS
+
+        model = StudentFCOS(num_classes=8, frozen_stages=args.frozen_stages,
+                            dtype=jnp.bfloat16)
+        params = model.init(rng, jnp.zeros((1, s, s, 3)),
+                            jnp.zeros((1, 7, 7, 256)),
+                            method=StudentFCOS.init_all)
     img = jnp.asarray(r.randint(0, 255, (b, s, s, 3)).astype(np.float32))
 
     fwd_f = dense_flops_per_img(s) * b
     print(f"analytic dense fwd: {fwd_f/1e9:.1f} GFLOP for batch {b}")
 
     def full(p, x):
-        (cls, bb, ct), feat = model.apply(p, x)
-        return cls.sum() + bb.sum() + ct.sum() + feat.astype(jnp.float32).sum()
+        outs, feat = model.apply(p, x)
+        return (sum(o.sum() for o in outs)
+                + feat.astype(jnp.float32).sum())
 
     def bb_only(p, x):
         feats = model.apply(p, x, method=lambda m, xx: m.backbone(xx))
         return sum(f.astype(jnp.float32).sum() for f in feats)
 
     def up_to_agg(p, x):
-        feat = model.apply(p, x, method=StudentFCOS.extract_feat)
+        feat = model.apply(p, x, method=lambda m, xx: m.extract_feat(xx))
         return feat.astype(jnp.float32).sum()
 
     t_bb = timeit(bb_only, params, img)
@@ -155,6 +181,22 @@ def main():
           f"{tot/t_g/1e12:6.1f} TFLOP/s (approx)")
     print(f"backbone fwd+bwd:       {t_bbg*1e3:8.1f} ms")
     print(f"backbone+necks fwd+bwd: {t_aggg*1e3:8.1f} ms")
+
+    if args.rotated:
+        # price the GN(32) tower layers: same model with tower_gn=False
+        # (throughput probe only — the param tree differs, fresh init)
+        m3, p3 = mk(tower_gn=False)
+
+        def full3(p, x):
+            outs, feat = m3.apply(p, x)
+            return sum(o.sum() for o in outs) + feat.astype(jnp.float32).sum()
+
+        t3f = timeit(full3, p3, img)
+        t3g = timeit(jax.grad(full3), p3, img)
+        print(f"[A/B] tower_gn=False fwd:     {t3f*1e3:8.1f} ms "
+              f"(vs {t_fwd*1e3:.1f})")
+        print(f"[A/B] tower_gn=False fwd+bwd: {t3g*1e3:8.1f} ms "
+              f"(vs {t_g*1e3:.1f})")
 
 
 if __name__ == "__main__":
