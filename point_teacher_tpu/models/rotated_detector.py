@@ -30,6 +30,7 @@ class StudentRotatedFCOS(nn.Module):
     num_stages: int = 1
     mil_stack_conv: int = 0
     frozen_stages: int = -1  # mirror cfg.optim.frozen_stages to skip frozen backward
+    tower_gn: bool = True  # GN(32) head towers (reference default norm_cfg)
     dtype: Any = jnp.bfloat16
 
     def setup(self):
@@ -40,7 +41,7 @@ class StudentRotatedFCOS(nn.Module):
                               dtype=self.dtype)
         self.bbox_head = RotatedFCOSHead(
             num_classes=self.num_classes, feat_channels=self.feat_channels,
-            stride=self.stride, dtype=self.dtype,
+            stride=self.stride, tower_gn=self.tower_gn, dtype=self.dtype,
         )
         self.mil_head = MILHead(num_classes=self.num_classes, num_stages=self.num_stages,
                                 dtype=self.dtype)
@@ -50,6 +51,9 @@ class StudentRotatedFCOS(nn.Module):
         feats = self.neck(feats)
         (feat,) = self.neck_agg(feats)
         return feat
+
+    def head(self, feat: Array):
+        return self.bbox_head(feat)
 
     def __call__(self, img: Array):
         feat = self.extract_feat(img)

@@ -190,24 +190,36 @@ def _make_rotated_step_fn(model: StudentRotatedFCOS, tx, cfg: PointTeacherConfig
             # the three student passes fuse into one 3B forward
             aug = make_aug(ps["pseudo_boxes"])
 
-        apply_model = model.apply
+        # The ori view's head outputs are never consumed (phase-1 losses read
+        # the syn and aug rows only; the ori view exists for its PSAGG feat,
+        # which feeds MIL — fcos_p2b_teacher_student.py:159-182 discards the
+        # real-view head maps the same way). Running the stride-8 head towers
+        # (the densest convs in the program) on 2B instead of 3B rows is
+        # exact per-row and saves a third of the tower fwd+bwd.
+        apply_feat = lambda p_, x_: model.apply(
+            p_, x_, method=lambda m_, xx: m_.extract_feat(xx))
+        apply_head = lambda p_, f_: model.apply(
+            p_, f_, method=lambda m_, ff: m_.head(ff))
         if cfg.remat:
-            apply_model = jax.checkpoint(lambda p_, x_: model.apply(p_, x_))
+            apply_feat = jax.checkpoint(apply_feat)
+            apply_head = jax.checkpoint(apply_head)
 
         def loss_fn(params):
             m = dict(metrics)
             if phase1:
                 b = batch.image.shape[0]
                 img_all = jnp.concatenate([img_syn, batch.image, aug.image], axis=0)
-                outs, feat = apply_model(params, img_all)
+                feat_all = apply_feat(params, img_all)
+                outs = apply_head(
+                    params, jnp.concatenate([feat_all[:b], feat_all[2 * b:]], axis=0))
                 cls_a, bbox_a, ang_a, ctr_a = _flatten_rhead(outs)
                 loss_bbox_syn, loss_ctr_syn = syn_branch_loss_rotated(
                     cls_a[:b], bbox_a[:b], ang_a[:b], ctr_a[:b], points,
                     syn_rboxes, syn_valid, rdense,
                 )
-                mil_feat_syn, mil_feat_ori = feat[:b], feat[b:2 * b]
-                cls_g, bbox_g = cls_a[2 * b:], bbox_a[2 * b:]
-                ang_g, ctr_g = ang_a[2 * b:], ctr_a[2 * b:]
+                mil_feat_syn, mil_feat_ori = feat_all[:b], feat_all[b:2 * b]
+                cls_g, bbox_g = cls_a[b:], bbox_a[b:]
+                ang_g, ctr_g = ang_a[b:], ctr_a[b:]
                 _, mil_loss_syn = _run_rmil_stages(
                     model, params, mil_feat_syn, syn_rboxes[:, :nt],
                     jnp.zeros_like(batch.gt_labels[:, sl]), syn_valid[:, :nt],
@@ -222,7 +234,9 @@ def _make_rotated_step_fn(model: StudentRotatedFCOS, tx, cfg: PointTeacherConfig
                 refined_full = ps["pseudo_boxes"]  # phase-1 refinement discarded
                 aug_local = aug
             else:
-                outs, feat = apply_model(params, batch.image)
+                # ori-view head outputs are unused in phase 2 as well — only
+                # its feat (MIL) and the aug view's head maps are consumed.
+                feat = apply_feat(params, batch.image)
                 refined_nt, mil_loss = _run_rmil_stages(
                     model, params, feat, ps["pseudo_boxes"][:, sl],
                     ps["pseudo_labels"][:, sl], batch.gt_valid[:, sl],
@@ -231,7 +245,7 @@ def _make_rotated_step_fn(model: StudentRotatedFCOS, tx, cfg: PointTeacherConfig
                 refined_full = ps["pseudo_boxes"].at[:, sl].set(refined_nt)
                 loss_bbox_syn = loss_ctr_syn = None
                 aug_local = make_aug(refined_full)
-                outs_aug, _ = apply_model(params, aug_local.image)
+                outs_aug = apply_head(params, apply_feat(params, aug_local.image))
                 cls_g, bbox_g, ang_g, ctr_g = _flatten_rhead(outs_aug)
 
             loss_cls, loss_bbox_ps, loss_ctr_ps = pseudo_branch_loss_rotated(

@@ -118,3 +118,32 @@ def test_space_to_depth_stem_equals_plain_stem():
     for a, b in zip(o_plain, o_s2d):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-5, atol=1e-4)
+
+
+def test_split_forward_equals_fused_forward():
+    """extract_feat -> head (the train steps' split student forward, which
+    lets the head run on a subset of view rows) must be bit-identical to the
+    fused __call__ on every row, for both detector forks."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from point_teacher_tpu.models.detector import StudentFCOS
+    from point_teacher_tpu.models.rotated_detector import StudentRotatedFCOS
+
+    r = np.random.RandomState(1)
+    img = jnp.asarray(r.randint(0, 255, (3, 64, 64, 3)).astype(np.float32))
+    rois = jnp.zeros((1, 7, 7, 256))
+    for cls_m, init_m in ((StudentFCOS, StudentFCOS.init_all),
+                          (StudentRotatedFCOS, StudentRotatedFCOS.init_all)):
+        model = cls_m(dtype=jnp.bfloat16)
+        params = model.init(jax.random.PRNGKey(0), img[:1], rois, method=init_m)
+        outs_fused, feat_fused = model.apply(params, img)
+        feat = model.apply(params, img, method=lambda m, x: m.extract_feat(x))
+        outs_split = model.apply(params, feat, method=lambda m, f: m.head(f))
+        np.testing.assert_array_equal(np.asarray(feat), np.asarray(feat_fused))
+        for a, b in zip(outs_fused, outs_split):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+        # and on a row subset: head(feat[1:]) == full rows 1:
+        outs_sub = model.apply(params, feat[1:], method=lambda m, f: m.head(f))
+        for a, b in zip(outs_fused, outs_sub):
+            np.testing.assert_array_equal(np.asarray(a)[1:], np.asarray(b))
