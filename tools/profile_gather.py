@@ -70,11 +70,6 @@ def main():
     ]:
         flat = arr.reshape(b * s * s, 3)
 
-        def g(img_flat, ix):
-            out = jnp.take(img_flat, ix, axis=0)
-            # data-dependent carry: feed the gather output back as the carry
-            return out
-
         # carry is the gathered output; regather from it so reps chain
         t = timeit_krep(lambda c, ix: jnp.take(c, ix, axis=0), flat, idx)
         gb = flat.size * flat.dtype.itemsize / 1e9

@@ -68,15 +68,16 @@ def run_phase(name: str, cmd: list[str], timeout: int) -> dict:
         out = (e.stdout or b"").decode() if isinstance(e.stdout, bytes) else (e.stdout or "")
         err, rc = "TIMEOUT", 124
     wall = time.time() - t0
-    # grab the last JSON-looking line if any (bench contract)
+    # grab the last parseable JSON line if any (bench contract); keep
+    # scanning past brace-prefixed noise that fails to parse
     parsed = None
     for line in reversed(out.strip().splitlines()):
         if line.startswith("{"):
             try:
                 parsed = json.loads(line)
+                break
             except ValueError:
-                pass
-            break
+                continue
     ok = rc == 0 and not (isinstance(parsed, dict) and parsed.get("error"))
     rec = {"name": name, "cmd": cmd, "rc": rc, "ok": ok, "wall_s": round(wall, 1),
            "parsed": parsed, "stdout_tail": out[-6000:], "stderr_tail": err}
@@ -119,8 +120,14 @@ def main():
     todo = loops if args.loops else phases
     if args.only:
         names = set(args.only.split(","))
+        known = {p[0] for p in phases + loops}
+        unknown = names - known
+        if unknown:
+            sys.exit(f"unknown phase name(s): {sorted(unknown)}; "
+                     f"known: {sorted(known)}")
         todo = [p for p in phases + loops if p[0] in names]
 
+    results = []
     for name, cmd, timeout in todo:
         if not args.skip_probe:
             log("probing tunnel ...")
@@ -138,7 +145,7 @@ def main():
                 log(f"tunnel stayed sick; stopping before {name} "
                     f"(resume later: results so far are checkpointed)")
                 sys.exit(2)
-        run_phase(name, cmd, timeout)
+        results.append(run_phase(name, cmd, timeout))
 
     log("campaign stage complete")
     # summary table
@@ -147,6 +154,11 @@ def main():
             with open(os.path.join(OUT, fn)) as f:
                 r = json.load(f)
             log(f"  {r['name']}: ok={r['ok']} wall={r['wall_s']}s parsed={r.get('parsed')}")
+    # contract with the retry-loop wrapper: non-zero while any requested
+    # phase is still not-ok, so the wrapper keeps re-launching (run_phase
+    # re-runs cached not-ok phases)
+    if any(not r.get("ok") for r in results):
+        sys.exit(1)
 
 
 if __name__ == "__main__":
