@@ -377,6 +377,160 @@ def roi_align_grouped(
     return out.reshape(-1, u, out_size, out_size, c)[:g].astype(feat.dtype)
 
 
+@partial(jax.jit, static_argnames=("window", "spatial_scale"))
+def extract_group_windows(
+    feat: Array,      # [H, W, C]
+    centers: Array,   # [G, 2] (cx, cy) image coords
+    window: int = 32,
+    spatial_scale: float = 1.0 / 8,
+):
+    """One `window`^2 feature patch per group, centred on `centers` (clamped
+    inside the map). Returns (win [G, window, window, C], wy0 [G], wx0 [G]).
+
+    Factored out of roi_align_grouped so ONE window gather can serve BOTH
+    grouped pools of a MIL stage (reg bags on the jittered boxes, cls bags on
+    the DN-refined boxes — train/mil.py): the dynamic-slice gathers and their
+    scatter-add transpose are the measured cost of the grouped pool (NOTES_r3
+    gather race; the einsums are ~20x cheaper), and the refined bags stay
+    near the input box centre by construction (the denoising loss pulls every
+    member toward its reference box), so the same window covers both."""
+    h, w, c = feat.shape
+    window = min(window, h, w)
+    cx = centers[:, 0] * spatial_scale
+    cy = centers[:, 1] * spatial_scale
+    wy0 = jnp.clip(jnp.floor(cy - window / 2), 0, max(h - window, 0)).astype(jnp.int32)
+    wx0 = jnp.clip(jnp.floor(cx - window / 2), 0, max(w - window, 0)).astype(jnp.int32)
+
+    def extract(yo, xo):
+        return jax.lax.dynamic_slice(feat, (yo, xo, 0), (window, window, c))
+
+    return jax.vmap(extract)(wy0, wx0), wy0, wx0
+
+
+@partial(jax.jit, static_argnames=("feat_hw", "out_size", "sampling_ratio",
+                                   "spatial_scale", "chunk"))
+def roi_align_grouped_from_windows(
+    win: Array,       # [G, window, window, C] from extract_group_windows
+    wy0: Array,
+    wx0: Array,
+    rois: Array,      # [G, U, 4] xyxy image coords
+    feat_hw,          # (H, W) of the TRUE map (border rules)
+    out_size: int = 7,
+    spatial_scale: float = 1.0 / 8,
+    sampling_ratio: int = 0,
+    chunk: int = 32,
+) -> Array:
+    """roi_align_grouped's contraction against pre-extracted windows —
+    identical hat-weight math / border rules, so (extract_group_windows +
+    this) == roi_align_grouped exactly. Returns [G, U, out, out, C]."""
+    h, w = feat_hw
+    g, u = rois.shape[:2]
+    window = win.shape[1]
+
+    x1 = rois[..., 0] * spatial_scale
+    y1 = rois[..., 1] * spatial_scale
+    bin_w = jnp.maximum((rois[..., 2] - rois[..., 0]) * spatial_scale, 1e-6) / out_size
+    bin_h = jnp.maximum((rois[..., 3] - rois[..., 1]) * spatial_scale, 1e-6) / out_size
+
+    wy = _axis_rel_weights(y1, bin_h, wy0[:, None], out_size, h, window,
+                           sampling_ratio, win.dtype)  # [G, U, out, window]
+    wx = _axis_rel_weights(x1, bin_w, wx0[:, None], out_size, w, window,
+                           sampling_ratio, win.dtype)
+
+    inter_t = jnp.float32 if win.dtype == jnp.float32 else win.dtype
+
+    def one_chunk(args):
+        win_c, wy_c, wx_c = args
+        tmp = jnp.einsum("guiy,gyxc->guixc", wy_c, win_c,
+                         preferred_element_type=inter_t)
+        return jnp.einsum("gujx,guixc->guijc", wx_c, tmp,
+                          preferred_element_type=jnp.float32)
+
+    c = win.shape[-1]
+    if g <= chunk:
+        return one_chunk((win, wy, wx)).astype(win.dtype)
+    pad = (-g) % chunk
+    win_p = jnp.pad(win, ((0, pad),) + ((0, 0),) * 3).reshape(
+        -1, chunk, window, window, c)
+    wy_p = jnp.pad(wy, ((0, pad),) + ((0, 0),) * 3).reshape(-1, chunk, u, out_size, window)
+    wx_p = jnp.pad(wx, ((0, pad),) + ((0, 0),) * 3).reshape(-1, chunk, u, out_size, window)
+    out = jax.lax.map(one_chunk, (win_p, wy_p, wx_p))
+    return out.reshape(-1, u, out_size, out_size, c)[:g].astype(win.dtype)
+
+
+@partial(jax.jit, static_argnames=("feat_hw", "out_size", "sampling_ratio",
+                                   "spatial_scale", "chunk"))
+def roi_align_rotated_grouped_from_windows(
+    win: Array,       # [G, window, window, C]
+    wy0: Array,
+    wx0: Array,
+    rrois: Array,     # [G, U, 5]
+    feat_hw,
+    out_size: int = 7,
+    sampling_ratio: int = 2,
+    spatial_scale: float = 1.0 / 8,
+    chunk: int = 16,
+) -> Array:
+    """roi_align_rotated_grouped's contraction against pre-extracted windows
+    (same sample math / border rules). Returns [G, U, out, out, C]."""
+    h, w = feat_hw
+    g, u = rrois.shape[:2]
+    window = win.shape[1]
+    s = sampling_ratio
+    ss = out_size * s
+    dt = win.dtype
+
+    rcx = rrois[..., 0] * spatial_scale
+    rcy = rrois[..., 1] * spatial_scale
+    bw = rrois[..., 2] * spatial_scale
+    bh = rrois[..., 3] * spatial_scale
+    ang = rrois[..., 4]
+    cos, sin = jnp.cos(ang), jnp.sin(ang)
+
+    offs = (jnp.arange(s, dtype=dt) + 0.5) / s
+    bins = jnp.arange(out_size, dtype=dt)
+    frac = ((bins[:, None] + offs[None, :]) / out_size - 0.5).reshape(-1)  # [ss]
+
+    bx = frac[None, None, None, :] * bw[..., None, None]
+    by = frac[None, None, :, None] * bh[..., None, None]
+    sx = cos[..., None, None] * bx - sin[..., None, None] * by + rcx[..., None, None] - 0.5
+    sy = sin[..., None, None] * bx + cos[..., None, None] * by + rcy[..., None, None] - 0.5
+
+    valid = (sx >= -1.0) & (sx <= w * 1.0) & (sy >= -1.0) & (sy <= h * 1.0)
+    ry = jnp.clip(sy - wy0[:, None, None, None], 0.0, window - 1.0)
+    rx = jnp.clip(sx - wx0[:, None, None, None], 0.0, window - 1.0)
+    ry = jnp.minimum(ry, (h - 1 - wy0)[:, None, None, None].astype(dt))
+    rx = jnp.minimum(rx, (w - 1 - wx0)[:, None, None, None].astype(dt))
+
+    k = jnp.arange(window, dtype=dt)
+    hy = jnp.maximum(0.0, 1.0 - jnp.abs(ry[..., None] - k))  # [G, U, ss, ss, W]
+    hx = jnp.maximum(0.0, 1.0 - jnp.abs(rx[..., None] - k))
+    hy = hy * valid[..., None]
+
+    mm_dtype = dt if dt == jnp.bfloat16 else jnp.float32
+    c = win.shape[-1]
+
+    def one_chunk(args):
+        win_c, hy_c, hx_c = args
+        cg = win_c.shape[0]
+        wgt = (hy_c[..., :, None] * hx_c[..., None, :]).reshape(
+            cg, u * ss * ss, window * window).astype(mm_dtype)
+        out = jnp.einsum("gsp,gpc->gsc", wgt,
+                         win_c.astype(mm_dtype).reshape(cg, window * window, c),
+                         preferred_element_type=jnp.float32)
+        return out.reshape(cg, u, out_size, s, out_size, s, c).mean(axis=(3, 5))
+
+    if g <= chunk:
+        return one_chunk((win, hy, hx)).astype(dt)
+    pad = (-g) % chunk
+    win_p = jnp.pad(win, ((0, pad),) + ((0, 0),) * 3).reshape(
+        -1, chunk, window, window, c)
+    hy_p = jnp.pad(hy, ((0, pad),) + ((0, 0),) * 4).reshape(-1, chunk, u, ss, ss, window)
+    hx_p = jnp.pad(hx, ((0, pad),) + ((0, 0),) * 4).reshape(-1, chunk, u, ss, ss, window)
+    out = jax.lax.map(one_chunk, (win_p, hy_p, hx_p))
+    return out.reshape(-1, u, out_size, out_size, c)[:g].astype(dt)
+
+
 @partial(jax.jit, static_argnames=("out_size", "sampling_ratio", "spatial_scale",
                                    "chunk", "window"))
 def roi_align_rotated_grouped(

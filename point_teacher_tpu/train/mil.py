@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..ops.boxes import bbox_overlaps, xyxy_to_cxcywh
 from ..ops.losses import dn_diou_loss, gfocal_loss
-from ..ops.roi_align import roi_align, roi_align_grouped
+from ..ops.roi_align import roi_align
 from ..core.proposals import FineProposalCfg, delta_decode, fine_proposals, negative_proposals
 
 Array = jnp.ndarray
@@ -140,31 +140,41 @@ def mil_stage_rotated(
         return roi_align_rotated_matmul(feat, rr, out_size=7, spatial_scale=1.0 / 8,
                                         chunk=256, window=window)
 
-    def gpool(feat, rr, centers):
+    gctr = rboxes[..., :2]  # [B, G, 2]
+    feat_hw = (mil_feat.shape[1], mil_feat.shape[2])
+    if grouped:
         # grouped shared-window rotated pool, single-shot (chunk=G: the
         # lax.map chunk loop was the serializer — NOTES_r3 pool bisect). All
         # bag members of one GT share its centre (fine_proposals ratio-scales
         # w/h, the angle is carried), so one window gather serves the whole
-        # bag and the member contraction gets a tall MXU M (U*ss^2 rows).
+        # bag — and BOTH pools of the stage (reg bags + their DN-refined cls
+        # bags share the GT-centred window; r5, see mil_stage), and the
+        # member contraction gets a tall MXU M (U*ss^2 rows).
         # window=16 = 128px coverage is exact for rotated members up to ~73px
         # per-axis AABB — beyond the whole SODA-A range (<=45px * ratio 1.3).
-        # Measured at the step geometry (B=4, G=48, U=25, 150x150x256 bf16):
-        # 16.8 ms fwd+bwd vs 60.2 for the per-roi windowed pool (NOTES_r3).
         # `grouped=False` (cfg.mil_pool_grouped) selects the per-roi path —
         # the fallback when a dataset breaks the group-window assumption.
-        from ..ops.roi_align import roi_align_rotated_grouped
+        from ..ops.roi_align import (
+            extract_group_windows, roi_align_rotated_grouped_from_windows)
 
-        if not grouped:
-            return pool(feat, rr.reshape(-1, 5)).reshape(
-                rr.shape[0], rr.shape[1], 7, 7, -1)
-        return roi_align_rotated_grouped(feat, rr, centers, out_size=7,
-                                         spatial_scale=1.0 / 8,
-                                         chunk=rr.shape[0], window=window)
+        win, wy0, wx0 = jax.vmap(
+            lambda f, c_: extract_group_windows(f, c_, window=window)
+        )(mil_feat, gctr)
 
-    gctr = rboxes[..., :2]  # [B, G, 2]
-    roi_feats = jax.vmap(gpool)(
-        mil_feat, ext_rb.reshape(b, g, u1 * u2, 5), gctr
-    ).reshape(b, g * u1 * u2, 7, 7, -1)
+        def gpool_win(w_, y0, x0, rr):
+            return roi_align_rotated_grouped_from_windows(
+                w_, y0, x0, rr, feat_hw, out_size=7, spatial_scale=1.0 / 8,
+                chunk=rr.shape[0])
+
+        roi_feats = jax.vmap(gpool_win)(
+            win, wy0, wx0, ext_rb.reshape(b, g, u1 * u2, 5)
+        ).reshape(b, g * u1 * u2, 7, 7, -1)
+    else:
+        roi_feats = jax.vmap(
+            lambda f, rr: pool(f, rr.reshape(-1, 5)).reshape(
+                g, u1 * u2, 7, 7, -1)
+        )(mil_feat, ext_rb.reshape(b, g, u1 * u2, 5)).reshape(
+            b, g * u1 * u2, 7, 7, -1)
     n = roi_feats.shape[1]
     deltas = mil_regress(roi_feats.reshape(b * n, 7, 7, -1), stage)
     pred_hbb = delta_decode(ext.reshape(b * n, 4), deltas, hw)  # xyxy
@@ -194,10 +204,6 @@ def mil_stage_rotated(
                            refine_bags_iou)
 
     rb5 = refined_rb.reshape(b, g, u1 * u2, 5)
-    pc = rb5[..., :2]
-    pm = ext_valid.reshape(b, g, u1 * u2, 1).astype(pc.dtype)
-    pcnt = pm.sum(2)
-    pctr = jnp.where(pcnt > 0, (pc * pm).sum(2) / jnp.maximum(pcnt, 1.0), gctr)
     # member AABB (rotated extent) for the window-coverage diagnostic
     hw_x = (jnp.abs(rb5[..., 2] * jnp.cos(rb5[..., 4]))
             + jnp.abs(rb5[..., 3] * jnp.sin(rb5[..., 4]))) / 2
@@ -205,12 +211,22 @@ def mil_stage_rotated(
             + jnp.abs(rb5[..., 3] * jnp.cos(rb5[..., 4]))) / 2
     aabb = jnp.stack([rb5[..., 0] - hw_x, rb5[..., 1] - hw_y,
                       rb5[..., 0] + hw_x, rb5[..., 1] + hw_y], -1)
-    cls_pool_coverage = (jnp.ones(()) if not grouped else _group_window_coverage(
-        aabb, ext_valid.reshape(b, g, u1 * u2), pctr,
-        (mil_feat.shape[1], mil_feat.shape[2]), window=window))
-    roi_feats_cls = jax.vmap(gpool)(
-        mil_feat, rb5, pctr
-    ).reshape(b, n, 7, 7, -1)
+    if grouped:
+        # refined bags pooled from the SAME per-GT windows as the reg bags
+        # (one gather serves both pools); coverage measured against those
+        # actual window origins
+        cls_pool_coverage = _group_window_coverage(
+            aabb, ext_valid.reshape(b, g, u1 * u2), gctr, feat_hw,
+            window=window)
+        roi_feats_cls = jax.vmap(gpool_win)(
+            win, wy0, wx0, rb5
+        ).reshape(b, n, 7, 7, -1)
+    else:
+        cls_pool_coverage = jnp.ones(())
+        roi_feats_cls = jax.vmap(
+            lambda f, rr: pool(f, rr.reshape(-1, 5)).reshape(
+                g, u1 * u2, 7, 7, -1)
+        )(mil_feat, rb5).reshape(b, n, 7, 7, -1)
     cls_score, ins_score = mil_classify(roi_feats_cls.reshape(b * n, 7, 7, -1), stage)
     c = cls_score.shape[-1]
     cls_score = cls_score.reshape(b, g, u1, u2, c)
@@ -335,30 +351,45 @@ def mil_stage(
     # the serializer, not the gathers (NOTES_r3 pool bisect). U=125 (noisy
     # stage-2) falls back to 20-group chunks.
     gchunk = min(g, max(8, 2560 // (u1 * u2)))
+    feat_hw = (mil_feat.shape[1], mil_feat.shape[2])
 
-    def gpool(feat, rois, centers):
+    ctrs = xyxy_to_cxcywh(boxes)[..., :2]  # [B, G, 2] group window origins
+    if grouped:
         # grouped shared-window pool: the bags of one GT are co-located by
         # construction (fine_proposals ratio-scales w/h and shake-shifts by
-        # <=0.1 box size), so one window gather serves all U members.
+        # <=0.1 box size), so one window gather serves all U members —
+        # AND both pools of the stage: the reg bags (jittered inputs) and
+        # the cls bags (their DN-refined positions, pulled toward the same
+        # reference box by the denoising loss) share the GT-centred window,
+        # halving the dynamic-slice gather/scatter traffic that dominates
+        # the grouped pool (r5; window extraction factored out).
         # window=32 (256px at stride 8) is exact for reference boxes up to
         # ~100px — the AI-TOD object range with margin; larger (degenerate
         # early-training pseudo) boxes clamp samples to the window border.
         # `grouped=False` (cfg.mil_pool_grouped) selects the exact per-roi
         # path instead — the fallback when a dataset breaks the window
         # assumption (cls_pool_coverage < 1 in the logs).
-        # Measured at the step geometry (B=8, G=100, U=25, 100x100x256 bf16):
-        # 31.5 ms fwd+bwd vs 53.6 for the full-map matmul (NOTES_r3).
-        if not grouped:
-            return pool(feat, rois.reshape(-1, 4)).reshape(
-                rois.shape[0], rois.shape[1], 7, 7, -1)
-        return roi_align_grouped(feat, rois, centers, out_size=7,
-                                 spatial_scale=1.0 / 8, chunk=gchunk,
-                                 window=window)
+        from ..ops.roi_align import (
+            extract_group_windows, roi_align_grouped_from_windows)
 
-    ctrs = xyxy_to_cxcywh(boxes)[..., :2]  # [B, G, 2] group window origins
-    roi_feats = jax.vmap(gpool)(
-        mil_feat, ext.reshape(b, g, u1 * u2, 4), ctrs
-    ).reshape(b, g * u1 * u2, 7, 7, -1)  # same member order as ext.reshape(b,-1,4)
+        win, wy0, wx0 = jax.vmap(
+            lambda f, c_: extract_group_windows(f, c_, window=window)
+        )(mil_feat, ctrs)
+
+        def gpool_win(w_, y0, x0, rois):
+            return roi_align_grouped_from_windows(
+                w_, y0, x0, rois, feat_hw, out_size=7,
+                spatial_scale=1.0 / 8, chunk=gchunk)
+
+        roi_feats = jax.vmap(gpool_win)(
+            win, wy0, wx0, ext.reshape(b, g, u1 * u2, 4)
+        ).reshape(b, g * u1 * u2, 7, 7, -1)
+    else:
+        roi_feats = jax.vmap(
+            lambda f, rr: pool(f, rr.reshape(-1, 4)).reshape(
+                g, u1 * u2, 7, 7, -1)
+        )(mil_feat, ext.reshape(b, g, u1 * u2, 4)).reshape(
+            b, g * u1 * u2, 7, 7, -1)
     n = roi_feats.shape[1]
     deltas = mil_regress(roi_feats.reshape(b * n, 7, 7, -1), stage)
     pred = delta_decode(ext.reshape(b * n, 4), deltas, hw).reshape(b, g, u1, u2, 4)
@@ -386,19 +417,22 @@ def mil_stage(
 
     # --- bag classification on the refined bags ---
     # refined bags stay grouped (DN-denoising pulls every member toward its
-    # reference box); window origin = masked mean of the refined centres so
-    # coverage follows the predictions, falling back to the GT centre when a
-    # group has no valid member
-    pc = xyxy_to_cxcywh(pred_d.reshape(b, g, u1 * u2, 4))[..., :2]
-    pm = ext_valid.reshape(b, g, u1 * u2, 1).astype(pc.dtype)
-    pcnt = pm.sum(2)
-    pctr = jnp.where(pcnt > 0, (pc * pm).sum(2) / jnp.maximum(pcnt, 1.0), ctrs)
-    cls_pool_coverage = (jnp.ones(()) if not grouped else _group_window_coverage(
-        pred_d.reshape(b, g, u1 * u2, 4), ext_valid.reshape(b, g, u1 * u2),
-        pctr, (mil_feat.shape[1], mil_feat.shape[2]), window=window))
-    roi_feats_cls = jax.vmap(gpool)(
-        mil_feat, pred_d.reshape(b, g, u1 * u2, 4), pctr
-    ).reshape(b, n, 7, 7, -1)
+    # reference box), so they are pooled from the SAME per-GT windows the reg
+    # bags used (one gather serves both pools); the coverage diagnostic
+    # measures fit against those actual window origins
+    if grouped:
+        cls_pool_coverage = _group_window_coverage(
+            pred_d.reshape(b, g, u1 * u2, 4), ext_valid.reshape(b, g, u1 * u2),
+            ctrs, feat_hw, window=window)
+        roi_feats_cls = jax.vmap(gpool_win)(
+            win, wy0, wx0, pred_d.reshape(b, g, u1 * u2, 4)
+        ).reshape(b, n, 7, 7, -1)
+    else:
+        cls_pool_coverage = jnp.ones(())
+        roi_feats_cls = jax.vmap(
+            lambda f, rr: pool(f, rr.reshape(-1, 4)).reshape(
+                g, u1 * u2, 7, 7, -1)
+        )(mil_feat, pred_d.reshape(b, g, u1 * u2, 4)).reshape(b, n, 7, 7, -1)
     cls_score, ins_score = mil_classify(roi_feats_cls.reshape(b * n, 7, 7, -1), stage)
     c = cls_score.shape[-1]
     cls_score = cls_score.reshape(b, g, u1, u2, c)

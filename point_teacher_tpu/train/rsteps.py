@@ -149,6 +149,11 @@ def _make_rotated_step_fn(model: StudentRotatedFCOS, tx, cfg: PointTeacherConfig
         vm = batch.gt_valid[:, sl].reshape(-1)
         metrics["coarse_bboxes_iou"] = jnp.where(vm, ious_c, 0.0).sum() / jnp.maximum(vm.sum(), 1)
         metrics["pseudo_mean_iou"] = ps["mean_iou"].mean()
+        # pseudo-box size stats (decay/blow-up diagnosis, NOTES_r5)
+        vm2 = batch.gt_valid[:, sl]
+        pwh = jnp.where(vm2[..., None], ps["pseudo_boxes"][:, sl, 2:4], 0.0)
+        metrics["pseudo_mean_wh"] = pwh.sum() / jnp.maximum(2 * vm2.sum(), 1)
+        metrics["pseudo_max_wh"] = pwh.max()
 
         if phase1:
             img_syn, _, syn_rboxes, syn_valid = generate_black_paper_batch(

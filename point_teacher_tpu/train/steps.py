@@ -178,6 +178,11 @@ def _make_step_fn(model: StudentFCOS, tx, cfg: PointTeacherConfig):
             jnp.where(vmask, ious_coarse, 0.0).sum() / jnp.maximum(vmask.sum(), 1)
         )
         metrics["pseudo_mean_iou"] = ps["mean_iou"].mean()
+        # pseudo-box size stats (decay/blow-up diagnosis, NOTES_r5)
+        pwh = (ps["pseudo_boxes"][:, sl, 2:4] - ps["pseudo_boxes"][:, sl, :2])
+        pwh = jnp.where(vmask[..., None], pwh, 0.0)
+        metrics["pseudo_mean_wh"] = pwh.sum() / jnp.maximum(2 * vmask.sum(), 1)
+        metrics["pseudo_max_wh"] = pwh.max()
 
         if phase1:
             img_syn, syn_boxes, _, syn_valid = generate_black_paper_batch(

@@ -129,8 +129,14 @@ def main():
         for k, v in patches.items():
             setattr(rsteps_mod, k, v)
         try:
-            # fresh state per variant: the donated step consumes its input
-            vstate = create_train_state(params, tx, num_images=64, max_gt=g,
+            # fresh state per variant: the donated step consumes its input.
+            # COPY the params tree — create_train_state aliases it into
+            # state.params, so without the copy the first donated execution
+            # deletes the master `params` buffers and every later variant
+            # fails at dispatch with INVALID_ARGUMENT (the r4 rbisect.json
+            # failure mode: baseline ok, all six ablations dead).
+            vparams = jax.tree_util.tree_map(jnp.copy, params)
+            vstate = create_train_state(vparams, tx, num_images=64, max_gt=g,
                                         rng=rng)
             t = timeit(build(), vstate, batch)
             d = "" if base is None else f"   (delta {base - t:+8.1f} ms)"

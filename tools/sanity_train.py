@@ -121,8 +121,35 @@ def main():
                          "trajectory for collapse diagnosis)")
     ap.add_argument("--assert-no-collapse", action="store_true",
                     help="exit nonzero if the final teacher AP drops below "
-                         "half its post-burn-in peak (the TS self-distillation "
-                         "collapse regression; needs --eval-interval)")
+                         "--collapse-ratio of its post-burn-in peak (the TS "
+                         "self-distillation collapse regression; needs "
+                         "--eval-interval)")
+    ap.add_argument("--collapse-ratio", type=float, default=0.7,
+                    help="collapse gate: final teacher AP must stay above "
+                         "ratio * phase-2 peak. r4 ran at 0.5, which blessed "
+                         "a 32%% HBB decay; with the lr schedule on "
+                         "(--lr-epochs) both trainers hold well above 0.7")
+    ap.add_argument("--lr-epochs", type=int, default=12,
+                    help="divide the run into N epochs for the reference's "
+                         "step-lr schedule (x0.1 at epochs 8 and 11 of 12 — "
+                         "aitodv2_point_teacher_0%%.py lr_config). 0 = "
+                         "constant lr for the whole run (the pre-r5 harness "
+                         "behaviour, which lets phase-2 self-distillation "
+                         "drift unannealed — artifacts/r4_campaign/)")
+    ap.add_argument("--pool-grouped", type=int, default=1, choices=[0, 1],
+                    help="0 = exact per-roi MIL pooling (mil_pool_grouped="
+                         "False), for causality A/Bs on the grouped-window "
+                         "approximation")
+    ap.add_argument("--ablate-aug", action="store_true",
+                    help="replace the strong augmentation with the identity "
+                         "view (decay-causality A/B: if the phase-2 teacher "
+                         "drift vanishes, the aug warp<->coordinate-law "
+                         "mapping is injecting a per-step bias)")
+    ap.add_argument("--metrics-out", default=None,
+                    help="write one JSON line per --log-interval step (and "
+                         "per eval) with the full metrics dict for offline "
+                         "trajectory analysis")
+    ap.add_argument("--log-interval", type=int, default=20)
     args = ap.parse_args()
     import jax
 
@@ -155,12 +182,22 @@ def main():
         fine_proposal_extensive_cfg=(FineProposalCfg(
             base_ratios=(1.0, 1.2, 0.8), min_scale=4.0),),
         syn_fill_value=2.0,  # match the harness's normalised pixel range
+        mil_pool_grouped=bool(args.pool_grouped),
         optim=PointTeacherConfig().optim._replace(
             base_lr=args.lr, warmup_iters=10, warmup_ratio=1.0,
             frozen_stages=args.frozen_stages,
-            iters_per_epoch=10 ** 9),
+            # reference-proportioned step-lr schedule (x0.1 at epochs 8, 11
+            # of --lr-epochs); 0 disables it (constant lr)
+            iters_per_epoch=(max(1, args.steps // args.lr_epochs)
+                             if args.lr_epochs else 10 ** 9)),
     )
     rotated = args.trainer == "rotated"
+    if args.ablate_aug:
+        import point_teacher_tpu.train.rsteps as _rsteps_mod
+        import point_teacher_tpu.train.steps as _steps_mod
+
+        _steps_mod.strong_augment = lambda k, b: b
+        _rsteps_mod.strong_augment_rotated = lambda k, b: b
     rng = jax.random.PRNGKey(0)
     if rotated:
         from point_teacher_tpu.evalx.rgeometry import rbox_iou_np
@@ -232,6 +269,14 @@ def main():
                for _ in range(n_data_batches)]
     peak_phase2_ap = -1.0
     min_pool_coverage = 1.0  # grouped MIL pool window-coverage gate
+    mfile = open(args.metrics_out, "w") if args.metrics_out else None
+
+    def mdump(rec):
+        if mfile:
+            import json
+            mfile.write(json.dumps(rec) + "\n")
+            mfile.flush()
+
     for i in range(args.steps):
         bi = i % n_data_batches
         img, boxes, labels = dataset[bi]
@@ -245,14 +290,19 @@ def main():
         for k in metrics:
             if k.endswith("cls_pool_coverage"):
                 min_pool_coverage = min(min_pool_coverage, float(metrics[k]))
-        if i % 20 == 0:
+        if i % args.log_interval == 0:
             extra = ""
             if "coarse_bboxes_iou" in metrics:
                 extra = (f" coarse_iou={float(metrics['coarse_bboxes_iou']):.3f}"
                          f" pseudo_iou={float(metrics.get('pseudo_mean_iou', 0)):.3f}")
+            if "pseudo_mean_wh" in metrics:
+                extra += (f" pwh={float(metrics['pseudo_mean_wh']):.1f}"
+                          f"/{float(metrics['pseudo_max_wh']):.0f}")
             print(f"step {i}: total={float(metrics['total_loss']):.3f} "
                   f"cls={float(metrics['loss_cls']):.3f} "
                   f"bbox={float(metrics['loss_bbox']):.3f}" + extra, flush=True)
+            mdump(dict({k: float(v) for k, v in metrics.items()}, step=i,
+                       kind="train"))
         if args.eval_interval and i and i % args.eval_interval == 0:
             s_ap = evaluate(state.params)
             t_ap = (evaluate(state.teacher_params)
@@ -260,6 +310,8 @@ def main():
             phase = "burn-in" if i <= cfg.burn_in_step else "phase-2"
             print(f"eval step {i} ({phase}): student AP={s_ap:.4f} "
                   f"teacher AP={t_ap:.4f}", flush=True)
+            mdump(dict(step=i, kind="eval", phase=phase, student_ap=s_ap,
+                       teacher_ap=t_ap))
             if i > cfg.burn_in_step:
                 peak_phase2_ap = max(peak_phase2_ap, t_ap)
 
@@ -278,9 +330,11 @@ def main():
         print(f"MIN cls_pool_coverage over run: {min_pool_coverage:.4f}")
     if args.assert_no_collapse and args.trainer != "fcos":
         final_t = teacher_ap
-        collapsed = peak_phase2_ap > 0.05 and final_t < 0.5 * peak_phase2_ap
+        collapsed = (peak_phase2_ap > 0.05
+                     and final_t < args.collapse_ratio * peak_phase2_ap)
         print(f"COLLAPSE CHECK: peak phase-2 teacher AP={peak_phase2_ap:.4f}, "
-              f"final={final_t:.4f} -> {'COLLAPSED' if collapsed else 'STABLE'}")
+              f"final={final_t:.4f} (gate {args.collapse_ratio:.2f}*peak) -> "
+              f"{'COLLAPSED' if collapsed else 'STABLE'}")
         if collapsed:
             return 2
         if min_pool_coverage < 0.98:
