@@ -577,3 +577,193 @@ def load_detector():
     _state["det"] = det
     ns.det = det
     return det
+
+
+class _TorchRoIAlign:
+    """Pure-torch mmcv RoIAlign (aligned=True, adaptive sampling_ratio=0),
+    differentiable wrt the feature map. Same math as this repo's JAX
+    roi_align_gather (ops/roi_align.py), which is golden-tested against hand
+    cases — here re-expressed in torch so the REFERENCE's MIL path can run
+    end-to-end on CPU. rois are mmdet [K, 5] (batch_idx, x1, y1, x2, y2)."""
+
+    def __new__(cls, output_size=7, spatial_scale=1.0, sampling_ratio=0,
+                aligned=True, **kw):
+        import torch
+        import torch.nn as nn
+
+        class Mod(nn.Module):
+            def __init__(self):
+                super().__init__()
+                # mmcv stores a (h, w) tuple (SingleRoIExtractor indexes it)
+                self.output_size = ((output_size, output_size)
+                                    if isinstance(output_size, int)
+                                    else tuple(output_size))
+                self.spatial_scale = spatial_scale
+                self.sampling_ratio = sampling_ratio
+
+            def forward(self, feat, rois):
+                # feat [B, C, H, W]; rois [K, 5]
+                b, c, h, w = feat.shape
+                out = self.output_size[0]
+                smax = 4 if sampling_ratio <= 0 else sampling_ratio
+                x1 = rois[:, 1] * self.spatial_scale
+                y1 = rois[:, 2] * self.spatial_scale
+                x2 = rois[:, 3] * self.spatial_scale
+                y2 = rois[:, 4] * self.spatial_scale
+                bin_w = (x2 - x1).clamp(min=1e-6) / out
+                bin_h = (y2 - y1).clamp(min=1e-6) / out
+                if sampling_ratio <= 0:
+                    sn_x = bin_w.ceil().clamp(1, smax)
+                    sn_y = bin_h.ceil().clamp(1, smax)
+                else:
+                    sn_x = sn_y = torch.full_like(x1, float(smax))
+                k = torch.arange(smax, dtype=feat.dtype)
+                bins = torch.arange(out, dtype=feat.dtype)
+                offs_x = (k[None] + 0.5) / sn_x[:, None]      # [K, s]
+                offs_y = (k[None] + 0.5) / sn_y[:, None]
+                mask_x = k[None] < sn_x[:, None]
+                mask_y = k[None] < sn_y[:, None]
+                sx = (x1[:, None, None]
+                      + (bins[None, :, None] + offs_x[:, None, :])
+                      * bin_w[:, None, None] - 0.5)           # [K, out, s]
+                sy = (y1[:, None, None]
+                      + (bins[None, :, None] + offs_y[:, None, :])
+                      * bin_h[:, None, None] - 0.5)
+                kk = rois.shape[0]
+                sx_b = sx[:, None, None, :, :].expand(kk, out, smax, out, smax)
+                sy_b = sy[:, :, :, None, None].expand(kk, out, smax, out, smax)
+                valid = ((sx_b >= -1.0) & (sx_b <= float(w))
+                         & (sy_b >= -1.0) & (sy_b <= float(h)))
+                x = sx_b.clamp(0.0, w - 1.0)
+                y = sy_b.clamp(0.0, h - 1.0)
+                x0 = x.floor()
+                y0 = y.floor()
+                x1i = (x0 + 1).clamp(max=w - 1.0)
+                y1i = (y0 + 1).clamp(max=h - 1.0)
+                lx, ly = x - x0, y - y0
+                bi = rois[:, 0].long()
+                feat_flat = feat.permute(0, 2, 3, 1).reshape(b * h * w, c)
+
+                def g(yy, xx):
+                    idx = (bi[:, None, None, None, None] * (h * w)
+                           + yy.long() * w + xx.long())
+                    return feat_flat[idx.reshape(-1)].reshape(*idx.shape, c)
+
+                vals = (g(y0, x0) * ((1 - ly) * (1 - lx))[..., None]
+                        + g(y0, x1i) * ((1 - ly) * lx)[..., None]
+                        + g(y1i, x0) * (ly * (1 - lx))[..., None]
+                        + g(y1i, x1i) * (ly * lx)[..., None])
+                vals = vals * valid[..., None]
+                m = (mask_y[:, None, :, None, None]
+                     & mask_x[:, None, None, None, :])
+                vals = vals * m[..., None]
+                pooled = vals.sum(dim=(2, 4)) / (sn_y * sn_x)[:, None, None, None]
+                return pooled.permute(0, 3, 1, 2).contiguous()  # [K, C, out, out]
+
+        return Mod()
+
+
+def load_full_detector():
+    """Extend the stubs so the reference's FULL TS_P2B_FCOS detector can be
+    CONSTRUCTED and its forward_train run end-to-end on CPU: real ResNet
+    (backbones/resnet.py) + FPN + PSAGG + TS_P2BFCOSHead with a working
+    SingleRoIExtractor over a pure-torch RoIAlign. Returns a namespace with
+    `build_detector(model_cfg, train_cfg, test_cfg)`. Idempotent."""
+    det = load_detector()
+    ns = _state["ns"]
+    if "full_det" in _state:
+        return _state["full_det"]
+    import sys as _sys
+
+    import torch.nn as nn
+
+    # mmcv.cnn: conv/norm builders the ResNet + ResLayer need
+    mmcv_cnn = _sys.modules["mmcv.cnn"]
+
+    def build_conv_layer(cfg, *args, **kwargs):
+        assert cfg is None or cfg.get("type", "Conv2d") == "Conv2d", cfg
+        return nn.Conv2d(*args, **kwargs)
+
+    def build_norm_layer(cfg, num_features, postfix=""):
+        assert cfg["type"] == "BN", cfg
+        layer = nn.BatchNorm2d(num_features)
+        if not cfg.get("requires_grad", True):
+            for p in layer.parameters():
+                p.requires_grad = False
+        return f"bn{postfix}", layer
+
+    mmcv_cnn.build_conv_layer = build_conv_layer
+    mmcv_cnn.build_norm_layer = build_norm_layer
+    mmcv_cnn.build_plugin_layer = _raise_stub("build_plugin_layer")
+    _sys.modules["mmcv.runner"].Sequential = nn.Sequential
+
+    # ResNet + ResLayer
+    builder = _sys.modules["refhbb.models.builder"]
+    if not hasattr(builder, "BACKBONES"):
+        builder.BACKBONES = _Registry("backbones")
+    _pkg("refhbb.models.backbones", REF_HBB + "/models/backbones")
+    _pkg("refhbb.models.utils", REF_HBB + "/models/utils")
+    res_layer = importlib.import_module("refhbb.models.utils.res_layer")
+    _sys.modules["refhbb.models.utils"].ResLayer = res_layer.ResLayer
+    resnet = importlib.import_module("refhbb.models.backbones.resnet")
+
+    # roi extractor: real SingleRoIExtractor over the pure-torch RoIAlign
+    _sys.modules["mmcv.ops"].RoIAlign = _TorchRoIAlign
+    _sys.modules["mmcv"].ops = _sys.modules["mmcv.ops"]
+    roi_reg = _Registry("roi_extractors")
+    # mmdet.models.builder is already an ALIAS of refhbb.models.builder
+    # (setup() installs it), so registering on `builder` is enough
+    builder.ROI_EXTRACTORS = roi_reg
+    _pkg("refhbb.models.roi_heads", REF_HBB + "/models/roi_heads")
+    _pkg("refhbb.models.roi_heads.roi_extractors",
+         REF_HBB + "/models/roi_heads/roi_extractors")
+    importlib.import_module(
+        "refhbb.models.roi_heads.roi_extractors.base_roi_extractor")
+    sre_mod = importlib.import_module(
+        "refhbb.models.roi_heads.roi_extractors.single_level_roi_extractor")
+    roi_reg._map.setdefault("SingleRoIExtractor", sre_mod.SingleRoIExtractor)
+    builder.build_roi_extractor = lambda cfg: _build_from_cfg(cfg, roi_reg)
+    # the head module captured the dummy build_roi_extractor at import time
+    for modname in ("refhbb.models.dense_heads.fcos_head_p2b_ts",
+                    "refobb.models.dense_heads.rotated_fcos_head_p2rb_ts"):
+        if modname in _sys.modules:
+            _sys.modules[modname].build_roi_extractor = builder.build_roi_extractor
+
+    # real build_* over the stub registries (fcos_head / necks / detectors
+    # register themselves at import in setup()/load_detector())
+    fcos_student = importlib.import_module(
+        "refhbb.models.detectors.fcos_student")
+
+    def build_backbone(cfg):
+        return _build_from_cfg(cfg, builder.BACKBONES)
+
+    def build_neck(cfg):
+        return _build_from_cfg(cfg, builder.NECKS)
+
+    def build_head(cfg):
+        return _build_from_cfg(cfg, builder.HEADS)
+
+    def build_detector(cfg, train_cfg=None, test_cfg=None):
+        return _build_from_cfg(
+            cfg, builder.DETECTORS,
+            default_args=dict(train_cfg=train_cfg, test_cfg=test_cfg))
+
+    for name, fn in (("build_backbone", build_backbone),
+                     ("build_neck", build_neck),
+                     ("build_head", build_head),
+                     ("build_detector", build_detector)):
+        setattr(builder, name, fn)
+        # the detector modules captured the _raise_stub versions at import
+        for modname in ("refhbb.models.detectors.fcos_p2b_teacher_student",
+                        "refhbb.models.detectors.fcos_student",
+                        "refhbb.models.detectors.single_stage"):
+            if modname in _sys.modules and hasattr(_sys.modules[modname], name):
+                setattr(_sys.modules[modname], name, fn)
+
+    full = types.SimpleNamespace(
+        build_detector=build_detector, resnet=resnet,
+        fcos_student=fcos_student, det=det,
+        roi_align_cls=_TorchRoIAlign)
+    _state["full_det"] = full
+    ns.full_det = full
+    return full
