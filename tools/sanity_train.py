@@ -153,6 +153,13 @@ def main():
     args = ap.parse_args()
     import jax
 
+    # persistent compile cache: campaign phases re-run after tunnel outages
+    # re-use their programs instead of paying the many-minute remote compile
+    _cache = os.path.join(os.path.dirname(os.path.abspath(__file__)), "..",
+                          ".jax_cache")
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(_cache))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
+
     if args.cpu:
         jax.config.update("jax_platforms", "cpu")
     import jax.numpy as jnp
@@ -290,6 +297,12 @@ def main():
         for k in metrics:
             if k.endswith("cls_pool_coverage"):
                 min_pool_coverage = min(min_pool_coverage, float(metrics[k]))
+        # host-side replica of make_lr_schedule (trajectory analysis)
+        oc = cfg.optim
+        lr_now = oc.base_lr * (oc.warmup_ratio if i < oc.warmup_iters else 1.0)
+        for e in oc.step_epochs:
+            if i // oc.iters_per_epoch >= e:
+                lr_now *= 0.1
         if i % args.log_interval == 0:
             extra = ""
             if "coarse_bboxes_iou" in metrics:
@@ -302,7 +315,7 @@ def main():
                   f"cls={float(metrics['loss_cls']):.3f} "
                   f"bbox={float(metrics['loss_bbox']):.3f}" + extra, flush=True)
             mdump(dict({k: float(v) for k, v in metrics.items()}, step=i,
-                       kind="train"))
+                       kind="train", lr=lr_now))
         if args.eval_interval and i and i % args.eval_interval == 0:
             s_ap = evaluate(state.params)
             t_ap = (evaluate(state.teacher_params)
