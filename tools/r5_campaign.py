@@ -108,36 +108,50 @@ def main():
     os.makedirs(OUT, exist_ok=True)
 
     mo = os.path.join(OUT, "m_")  # metrics-out prefix
+    # r5 mid-campaign restructure (NOTES_r5 "phase-2 decay"): loop_rot_lr12's
+    # trajectory REFUTED the lr-schedule hypothesis (teacher AP kept decaying
+    # at lr/10; pseudo boxes contract monotonically) and EXONERATED the
+    # grouped pool (coverage 1.0 through the whole decay; the r4 0.444 was an
+    # early-burn-in random-tower transient). New leading mechanism: uniform-
+    # fill harness objects make a slightly-smaller crop the best-scoring
+    # class sample, so selection + score-weighted averaging carry a shrink
+    # bias the TS loop compounds. The noaug/ungrouped controls are dropped
+    # (their questions are answered by the trajectory); the decisive A/Bs are
+    # ring objects (boundary-discriminative, the real-photo regime) and
+    # >=1.0-only extensive ratios (no smaller member to select).
     phases = [
         ("bench_phase1", [PY, "bench.py"], 2400),
         ("loop_rot_lr12", _loop("rotated", "--lr-epochs", "12",
-                                "--collapse-ratio", "0.7",
-                                "--metrics-out", mo + "rot_lr12.jsonl"), 7200),
-        ("loop_rot_const", _loop("rotated", "--lr-epochs", "0",
-                                 "--metrics-out", mo + "rot_const.jsonl",
-                                 gate=False), 7200),
+                                "--metrics-out", mo + "rot_lr12.jsonl",
+                                gate=False), 7200),
         ("bench_rotated", [PY, "bench.py", "--rotated"], 2400),
         ("profile_mil", [PY, "tools/profile_mil.py", "--batch", "8"], 2400),
         ("bisect8", [PY, "tools/profile_bisect8.py"], 3600),
-        ("loop_rot_noaug", _loop("rotated", "--lr-epochs", "0", "--ablate-aug",
-                                 "--metrics-out", mo + "rot_noaug.jsonl",
-                                 gate=False), 7200),
-        ("loop_rot_ungrouped", _loop("rotated", "--lr-epochs", "0",
-                                     "--pool-grouped", "0",
-                                     "--metrics-out", mo + "rot_ungrp.jsonl",
-                                     gate=False), 9600),
-        ("loop_hbb_lr12", _loop("point_teacher", "--lr-epochs", "12",
+        ("loop_rot_ring", _loop("rotated", "--lr-epochs", "12",
+                                "--objects", "ring",
                                 "--collapse-ratio", "0.7",
-                                "--metrics-out", mo + "hbb_lr12.jsonl"), 7200),
+                                "--metrics-out", mo + "rot_ring.jsonl"), 7200),
+        ("loop_rot_noshrink", _loop("rotated", "--lr-epochs", "12",
+                                    "--ext-ratios", "1.0,1.2",
+                                    "--metrics-out", mo + "rot_noshrink.jsonl",
+                                    gate=False), 7200),
+        ("loop_hbb_ring", _loop("point_teacher", "--lr-epochs", "12",
+                                "--objects", "ring",
+                                "--collapse-ratio", "0.7",
+                                "--metrics-out", mo + "hbb_ring.jsonl"), 7200),
         ("rbisect", [PY, "tools/profile_rbisect.py"], 3600),
         ("rsweep_b8s4", [PY, "bench.py", "--rotated", "--batch", "8",
                          "--scan", "4"], 2400),
         ("rsweep_b6s8", [PY, "bench.py", "--rotated", "--batch", "6"], 2400),
         ("bench_phase2", [PY, "bench.py", "--phase2"], 2400),
+        ("loop_rot_const", _loop("rotated", "--lr-epochs", "0",
+                                 "--metrics-out", mo + "rot_const.jsonl",
+                                 gate=False), 7200),
         ("loop6k_rot", [PY, "tools/sanity_train.py", "--trainer", "rotated",
                         "--steps", "6000", "--img", "256", "--batch", "4",
                         "--gt", "4", "--frozen-stages", "0",
                         "--burn-in-frac", "0.1", "--eval-interval", "300",
+                        "--objects", "ring",
                         "--assert-no-collapse", "--collapse-ratio", "0.7",
                         "--lr-epochs", "12",
                         "--metrics-out", mo + "rot_6k.jsonl"], 14000),
@@ -145,6 +159,7 @@ def main():
                         "point_teacher", "--steps", "6000", "--img", "256",
                         "--batch", "4", "--gt", "4", "--frozen-stages", "0",
                         "--burn-in-frac", "0.1", "--eval-interval", "300",
+                        "--objects", "ring",
                         "--assert-no-collapse", "--collapse-ratio", "0.7",
                         "--lr-epochs", "12",
                         "--metrics-out", mo + "hbb_6k.jsonl"], 14000),

@@ -37,12 +37,25 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 import numpy as np
 
 
-def make_visible_batch(rng, b, size, g, num_classes):
-    """Objects = filled rectangles with class-coded intensity.
+def make_visible_batch(rng, b, size, g, num_classes, objects="fill"):
+    """Objects = rectangles with class-coded intensity.
 
     Pixel range ~[0, 2]: training from random init with identity FrozenBN
     needs normalised inputs (the real configs rely on pretrained caffe
-    weights to absorb raw 0-255 pixels)."""
+    weights to absorb raw 0-255 pixels).
+
+    objects="fill": uniformly filled (the r1-r4 harness). PATHOLOGY (r5
+    collapse root-cause, NOTES_r5): on a uniform fill, a slightly-smaller
+    crop is a strictly "purer" class sample than the tight box (whose border
+    bins mix in background), so MIL bag selection and the teacher's
+    score-weighted box averaging systematically prefer smaller members; the
+    TS feedback loop compounds the bias ~0.5%/step into monotone pseudo-box
+    contraction and phase-2 teacher-AP decay. Real photographs are
+    boundary-discriminative, where a tighter-than-object crop LOSES the
+    object boundary — "ring" reproduces that property.
+
+    objects="ring": full-intensity 2px boundary + 35%-intensity interior —
+    the tight box is the best-scoring crop, as for real objects."""
     img = rng.uniform(0, 0.3, (b, size, size, 3)).astype(np.float32)
     boxes = np.zeros((b, g, 4), np.float32)
     labels = np.zeros((b, g), np.int32)
@@ -53,16 +66,25 @@ def make_visible_batch(rng, b, size, g, num_classes):
             y = rng.randint(4, size - h - 4)
             c = rng.randint(0, num_classes)
             val = 1.0 + (c + 1) / num_classes
-            img[bi, y:y + h, x:x + w, c % 3] = val
-            img[bi, y:y + h, x:x + w, (c + 1) % 3] = 2.0 - val
+            for ch, v in ((c % 3, val), ((c + 1) % 3, 2.0 - val)):
+                if objects == "ring":
+                    img[bi, y:y + h, x:x + w, ch] = 0.35 * v
+                    img[bi, y:y + 2, x:x + w, ch] = v
+                    img[bi, y + h - 2:y + h, x:x + w, ch] = v
+                    img[bi, y:y + h, x:x + 2, ch] = v
+                    img[bi, y:y + h, x + w - 2:x + w, ch] = v
+                else:
+                    img[bi, y:y + h, x:x + w, ch] = v
             boxes[bi, gi] = [x, y, x + w, y + h]
             labels[bi, gi] = c
     return img, boxes, labels
 
 
-def make_visible_rbatch(rng, b, size, g, num_classes):
-    """Rotated variant of make_visible_batch: class-coded filled rotated
-    rectangles (cv2.fillPoly) on noise; returns (img, rboxes [B,G,5], labels)."""
+def make_visible_rbatch(rng, b, size, g, num_classes, objects="fill"):
+    """Rotated variant of make_visible_batch: class-coded rotated rectangles
+    (cv2.fillPoly) on noise; returns (img, rboxes [B,G,5], labels).
+    objects="ring" draws a full-intensity 2px boundary + 35% interior — see
+    make_visible_batch for the uniform-fill shrink pathology it avoids."""
     import cv2
 
     img = rng.uniform(0, 0.3, (b, size, size, 3)).astype(np.float32)
@@ -81,8 +103,16 @@ def make_visible_rbatch(rng, b, size, g, num_classes):
             mask = np.zeros((size, size), np.uint8)
             cv2.fillPoly(mask, [pts], 1)
             m = mask.astype(bool)
-            img[bi, :, :, c % 3][m] = val
-            img[bi, :, :, (c + 1) % 3][m] = 2.0 - val
+            if objects == "ring":
+                ring = np.zeros((size, size), np.uint8)
+                cv2.polylines(ring, [pts], isClosed=True, color=1, thickness=2)
+                rm = ring.astype(bool)
+                for ch, v in ((c % 3, val), ((c + 1) % 3, 2.0 - val)):
+                    img[bi, :, :, ch][m] = 0.35 * v
+                    img[bi, :, :, ch][rm] = v
+            else:
+                img[bi, :, :, c % 3][m] = val
+                img[bi, :, :, (c + 1) % 3][m] = 2.0 - val
             rboxes[bi, gi] = [cx, cy, w, h, a]
             labels[bi, gi] = c
     return img, rboxes, labels
@@ -145,6 +175,16 @@ def main():
                          "view (decay-causality A/B: if the phase-2 teacher "
                          "drift vanishes, the aug warp<->coordinate-law "
                          "mapping is injecting a per-step bias)")
+    ap.add_argument("--objects", default="fill", choices=["fill", "ring"],
+                    help="fabricated-object texture. fill = uniform rectangles "
+                         "(r1-r4 harness; carries an interior-crop selection "
+                         "bias that drives phase-2 pseudo-box contraction — "
+                         "NOTES_r5 root-cause). ring = discriminative 2px "
+                         "boundary + faint interior, the real-photo regime")
+    ap.add_argument("--ext-ratios", default="1.0,1.2,0.8",
+                    help="extensive-bag base_ratios (comma list). A/B knob "
+                         "for the shrink bias: ratios >= 1.0 only removes "
+                         "the smaller-than-pseudo members from selection")
     ap.add_argument("--metrics-out", default=None,
                     help="write one JSON line per --log-interval step (and "
                          "per eval) with the full metrics dict for offline "
@@ -187,7 +227,8 @@ def main():
         fine_proposal_cfg=(FineProposalCfg(base_ratios=(1.0,), min_scale=0.0,
                                            gen_num_neg=16),),
         fine_proposal_extensive_cfg=(FineProposalCfg(
-            base_ratios=(1.0, 1.2, 0.8), min_scale=4.0),),
+            base_ratios=tuple(float(r) for r in args.ext_ratios.split(",")),
+            min_scale=4.0),),
         syn_fill_value=2.0,  # match the harness's normalised pixel range
         mil_pool_grouped=bool(args.pool_grouped),
         optim=PointTeacherConfig().optim._replace(
@@ -225,7 +266,8 @@ def main():
         infer = build_rotated_inference_fn(
             model, InferenceCfg(nms_pre=256, score_thr=0.05, nms_iou=0.1,
                                 max_per_img=64), args.img)
-        make_batch = make_visible_rbatch
+        from functools import partial
+        make_batch = partial(make_visible_rbatch, objects=args.objects)
         box_dim = 5
         eval_kw = dict(iou_fn=rbox_iou_np,
                        area_fn=lambda b: (b[:, 2] * b[:, 3] if len(b)
@@ -245,7 +287,8 @@ def main():
         infer = build_inference_fn(
             model, InferenceCfg(nms_pre=256, score_thr=0.05, nms_iou=0.5,
                                 max_per_img=64), args.img)
-        make_batch = make_visible_batch
+        from functools import partial
+        make_batch = partial(make_visible_batch, objects=args.objects)
         box_dim = 4
         eval_kw = {}
 
@@ -275,7 +318,18 @@ def main():
     dataset = [make_batch(r, args.batch, args.img, args.gt, args.classes)
                for _ in range(n_data_batches)]
     peak_phase2_ap = -1.0
-    min_pool_coverage = 1.0  # grouped MIL pool window-coverage gate
+    # Grouped MIL pool window-coverage gates. Coverage is measured on the
+    # DN-REFINED cls bags: at random init the regression tower emits wild
+    # deltas, so refined bags land far outside the group window for the
+    # first few hundred steps (r5 trajectory m_rot_lr12: min 0.396 before
+    # step 600, 1.0 ever after — including through the whole teacher-AP
+    # decay; the r4 loop_rot 0.444 "collapse symptom" was this same benign
+    # transient, not a decay mechanism). The gate therefore runs on the
+    # POST-burn-in region, where refined boxes are actually KEPT and train
+    # the student (phase-1 refinement is discarded per the reference quirk,
+    # fcos_p2b_teacher_student.py:187); the all-run min is still reported.
+    min_pool_coverage = 1.0        # over the whole run (diagnostic)
+    min_pool_coverage_p2 = 1.0     # phase 2 only (the gate)
     mfile = open(args.metrics_out, "w") if args.metrics_out else None
 
     def mdump(rec):
@@ -296,7 +350,10 @@ def main():
         state, metrics = step(state, batch, phase1=(i <= cfg.burn_in_step))
         for k in metrics:
             if k.endswith("cls_pool_coverage"):
-                min_pool_coverage = min(min_pool_coverage, float(metrics[k]))
+                cov = float(metrics[k])
+                min_pool_coverage = min(min_pool_coverage, cov)
+                if i > cfg.burn_in_step:
+                    min_pool_coverage_p2 = min(min_pool_coverage_p2, cov)
         # host-side replica of make_lr_schedule (trajectory analysis)
         oc = cfg.optim
         lr_now = oc.base_lr * (oc.warmup_ratio if i < oc.warmup_iters else 1.0)
@@ -340,7 +397,8 @@ def main():
         # exact only while cls_pool_coverage stays ~1.0 (train/mil.py); a
         # closed loop that drives boxes beyond the window must fail loudly
         # rather than silently train on border-clamped features.
-        print(f"MIN cls_pool_coverage over run: {min_pool_coverage:.4f}")
+        print(f"MIN cls_pool_coverage over run: {min_pool_coverage:.4f} "
+              f"(phase-2 only: {min_pool_coverage_p2:.4f})")
     if args.assert_no_collapse and args.trainer != "fcos":
         final_t = teacher_ap
         collapsed = (peak_phase2_ap > 0.05
@@ -350,10 +408,11 @@ def main():
               f"{'COLLAPSED' if collapsed else 'STABLE'}")
         if collapsed:
             return 2
-        if min_pool_coverage < 0.98:
-            print(f"POOL COVERAGE GATE: min cls_pool_coverage "
-                  f"{min_pool_coverage:.4f} < 0.98 — grouped-pool window "
-                  f"assumption violated (widen mil_pool_window or set "
+        if min_pool_coverage_p2 < 0.98:
+            print(f"POOL COVERAGE GATE: min phase-2 cls_pool_coverage "
+                  f"{min_pool_coverage_p2:.4f} < 0.98 — grouped-pool window "
+                  f"assumption violated where refined boxes train the "
+                  f"student (widen mil_pool_window or set "
                   f"mil_pool_grouped=False)")
             return 3
     return 0 if ok else 1
