@@ -722,7 +722,19 @@ def load_full_detector():
     sre_mod = importlib.import_module(
         "refhbb.models.roi_heads.roi_extractors.single_level_roi_extractor")
     roi_reg._map.setdefault("SingleRoIExtractor", sre_mod.SingleRoIExtractor)
-    builder.build_roi_extractor = lambda cfg: _build_from_cfg(cfg, roi_reg)
+
+    def build_roi_extractor(cfg):
+        # real extractor when the cfg is complete (the full-detector
+        # trajectory differential); dummy namespace for the bare
+        # dict(type=...) cfgs the head-only torch-port fixtures pass (their
+        # tests never pool — rebinding unconditionally broke those fixtures
+        # when the trajectory test ran first in the same process)
+        try:
+            return _build_from_cfg(cfg, roi_reg)
+        except (TypeError, KeyError):
+            return types.SimpleNamespace(num_inputs=1, cfg=cfg)
+
+    builder.build_roi_extractor = build_roi_extractor
     # the head module captured the dummy build_roi_extractor at import time
     for modname in ("refhbb.models.dense_heads.fcos_head_p2b_ts",
                     "refobb.models.dense_heads.rotated_fcos_head_p2rb_ts"):
