@@ -125,20 +125,20 @@ def main():
                                 "--metrics-out", mo + "rot_lr12.jsonl",
                                 gate=False), 7200),
         ("bench_rotated", [PY, "bench.py", "--rotated"], 2400),
-        ("profile_mil", [PY, "tools/profile_mil.py", "--batch", "8"], 2400),
-        ("bisect8", [PY, "tools/profile_bisect8.py"], 3600),
         ("loop_rot_ring", _loop("rotated", "--lr-epochs", "12",
                                 "--objects", "ring",
                                 "--collapse-ratio", "0.7",
                                 "--metrics-out", mo + "rot_ring.jsonl"), 7200),
-        ("loop_rot_noshrink", _loop("rotated", "--lr-epochs", "12",
-                                    "--ext-ratios", "1.0,1.2",
-                                    "--metrics-out", mo + "rot_noshrink.jsonl",
-                                    gate=False), 7200),
         ("loop_hbb_ring", _loop("point_teacher", "--lr-epochs", "12",
                                 "--objects", "ring",
                                 "--collapse-ratio", "0.7",
                                 "--metrics-out", mo + "hbb_ring.jsonl"), 7200),
+        ("profile_mil", [PY, "tools/profile_mil.py", "--batch", "8"], 2400),
+        ("bisect8", [PY, "tools/profile_bisect8.py"], 3600),
+        ("loop_rot_noshrink", _loop("rotated", "--lr-epochs", "12",
+                                    "--ext-ratios", "1.0,1.2",
+                                    "--metrics-out", mo + "rot_noshrink.jsonl",
+                                    gate=False), 7200),
         ("rbisect", [PY, "tools/profile_rbisect.py"], 3600),
         ("rsweep_b8s4", [PY, "bench.py", "--rotated", "--batch", "8",
                          "--scan", "4"], 2400),
