@@ -54,7 +54,7 @@ def make_visible_batch(rng, b, size, g, num_classes, objects="fill"):
     boundary-discriminative, where a tighter-than-object crop LOSES the
     object boundary — "ring" reproduces that property.
 
-    objects="ring": full-intensity 2px boundary + 35%-intensity interior —
+    objects="ring": full-intensity 3px boundary + 65%-intensity interior —
     the tight box is the best-scoring crop, as for real objects."""
     img = rng.uniform(0, 0.3, (b, size, size, 3)).astype(np.float32)
     boxes = np.zeros((b, g, 4), np.float32)
@@ -68,11 +68,11 @@ def make_visible_batch(rng, b, size, g, num_classes, objects="fill"):
             val = 1.0 + (c + 1) / num_classes
             for ch, v in ((c % 3, val), ((c + 1) % 3, 2.0 - val)):
                 if objects == "ring":
-                    img[bi, y:y + h, x:x + w, ch] = 0.35 * v
-                    img[bi, y:y + 2, x:x + w, ch] = v
-                    img[bi, y + h - 2:y + h, x:x + w, ch] = v
-                    img[bi, y:y + h, x:x + 2, ch] = v
-                    img[bi, y:y + h, x + w - 2:x + w, ch] = v
+                    img[bi, y:y + h, x:x + w, ch] = 0.65 * v
+                    img[bi, y:y + 3, x:x + w, ch] = v
+                    img[bi, y + h - 3:y + h, x:x + w, ch] = v
+                    img[bi, y:y + h, x:x + 3, ch] = v
+                    img[bi, y:y + h, x + w - 3:x + w, ch] = v
                 else:
                     img[bi, y:y + h, x:x + w, ch] = v
             boxes[bi, gi] = [x, y, x + w, y + h]
@@ -83,7 +83,7 @@ def make_visible_batch(rng, b, size, g, num_classes, objects="fill"):
 def make_visible_rbatch(rng, b, size, g, num_classes, objects="fill"):
     """Rotated variant of make_visible_batch: class-coded rotated rectangles
     (cv2.fillPoly) on noise; returns (img, rboxes [B,G,5], labels).
-    objects="ring" draws a full-intensity 2px boundary + 35% interior — see
+    objects="ring" draws a full-intensity 3px boundary + 65% interior — see
     make_visible_batch for the uniform-fill shrink pathology it avoids."""
     import cv2
 
@@ -105,10 +105,10 @@ def make_visible_rbatch(rng, b, size, g, num_classes, objects="fill"):
             m = mask.astype(bool)
             if objects == "ring":
                 ring = np.zeros((size, size), np.uint8)
-                cv2.polylines(ring, [pts], isClosed=True, color=1, thickness=2)
+                cv2.polylines(ring, [pts], isClosed=True, color=1, thickness=3)
                 rm = ring.astype(bool)
                 for ch, v in ((c % 3, val), ((c + 1) % 3, 2.0 - val)):
-                    img[bi, :, :, ch][m] = 0.35 * v
+                    img[bi, :, :, ch][m] = 0.65 * v
                     img[bi, :, :, ch][rm] = v
             else:
                 img[bi, :, :, c % 3][m] = val
