@@ -65,15 +65,19 @@ class PointTeacherConfig(NamedTuple):
     dn_hyper_denoising: float = 0.2
     # MIL bag pooling. The grouped shared-window pool (ops/roi_align.py
     # roi_align{,_rotated}_grouped) is exact while every bag member's sample
-    # grid fits a `window`-cell patch around the group centre (window=32 at
-    # stride 8 = 256px: all reference-scale AI-TOD boxes; rotated window=16 =
-    # 128px: the whole SODA-A range). Members beyond the window clamp to its
-    # border — the `cls_pool_coverage` metric reports the in-window fraction
-    # (1.0 = bit-exact vs the per-roi pool). For datasets/geometries that
-    # break the assumption: widen the window, or set mil_pool_grouped=False
-    # for the exact per-roi path (slower — NOTES_r3 pool race).
+    # grid fits a `window`-cell patch around the group centre (window=24 at
+    # stride 8 = 192px: covers AABBs to ~150px, >1.7x the largest AI-TOD
+    # object incl. the 1.3 bag ratio + shake; rotated window=16 = 128px: the
+    # whole SODA-A range). Members beyond the window clamp to its border —
+    # the `cls_pool_coverage` metric reports the in-window fraction (1.0 =
+    # bit-exact vs the per-roi pool). The window extraction + its
+    # scatter-add transpose are the measured cost of the grouped pool, and
+    # traffic scales with window^2 (24^2 is 56% of 32^2 — the r5 trim from
+    # the r1-r4 default of 32). For datasets/geometries that break the
+    # assumption: widen the window, or set mil_pool_grouped=False for the
+    # exact per-roi path (slower — NOTES_r3 pool race).
     mil_pool_grouped: bool = True
-    mil_pool_window: int = 32          # HBB group window (feature cells)
+    mil_pool_window: int = 24          # HBB group window (feature cells)
     mil_pool_window_rotated: int = 16  # rotated group/per-roi window
     fine_proposal_cfg: Tuple[FineProposalCfg, ...] = (
         FineProposalCfg(base_ratios=(1.0,), shake_ratio=None, min_scale=0.0, gen_num_neg=200),

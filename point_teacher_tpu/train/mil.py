@@ -227,7 +227,27 @@ def mil_stage_rotated(
             lambda f, rr: pool(f, rr.reshape(-1, 5)).reshape(
                 g, u1 * u2, 7, 7, -1)
         )(mil_feat, rb5).reshape(b, n, 7, 7, -1)
-    cls_score, ins_score = mil_classify(roi_feats_cls.reshape(b * n, 7, 7, -1), stage)
+    # negatives fold into the bag-tower call (same weights — see mil_stage)
+    use_neg = (mil_classify_neg is not None and neg_key is not None
+               and fine_cfg.gen_num_neg > 0)
+    if use_neg:
+        nn_ = fine_cfg.gen_num_neg
+        keys = jax.random.split(neg_key, b)
+        neg, neg_w = jax.vmap(
+            lambda k, p, v: negative_proposals(k, p, v, nn_, hw)
+        )(keys, props, props_valid & boxes_valid[:, :, None])
+        neg_rb = jnp.concatenate(
+            [xyxy_to_cxcywh(neg), jnp.zeros((*neg.shape[:-1], 1), neg.dtype)], -1
+        )
+        neg_feats = jax.vmap(pool)(mil_feat, neg_rb)
+        all_feats = jnp.concatenate(
+            [roi_feats_cls.reshape(b * n, 7, 7, roi_feats_cls.shape[-1]),
+             neg_feats.reshape(b * nn_, 7, 7, neg_feats.shape[-1])], axis=0)
+        cls_all, ins_all = mil_classify(all_feats, stage)
+        cls_score, ins_score = cls_all[:b * n], ins_all[:b * n]
+        neg_cls = cls_all[b * n:]
+    else:
+        cls_score, ins_score = mil_classify(roi_feats_cls.reshape(b * n, 7, 7, -1), stage)
     c = cls_score.shape[-1]
     cls_score = cls_score.reshape(b, g, u1, u2, c)
     ins_score = ins_score.reshape(b, g, u1, u2, c)
@@ -245,19 +265,8 @@ def mil_stage_rotated(
         bag_score, onehot, bag_w[..., None].astype(bag_score.dtype)
     ).sum() / num_sample
 
-    if mil_classify_neg is not None and neg_key is not None and fine_cfg.gen_num_neg > 0:
-        keys = jax.random.split(neg_key, b)
-        neg, neg_w = jax.vmap(
-            lambda k, p, v: negative_proposals(k, p, v, fine_cfg.gen_num_neg, hw)
-        )(keys, props, props_valid & boxes_valid[:, :, None])
-        neg_rb = jnp.concatenate(
-            [xyxy_to_cxcywh(neg), jnp.zeros((*neg.shape[:-1], 1), neg.dtype)], -1
-        )
-        neg_feats = jax.vmap(pool)(mil_feat, neg_rb)
-        neg_cls = mil_classify_neg(
-            neg_feats.reshape(b * fine_cfg.gen_num_neg, 7, 7, -1), stage
-        ).reshape(b, fine_cfg.gen_num_neg, c)
-        neg_sig = jax.nn.sigmoid(neg_cls)
+    if use_neg:
+        neg_sig = jax.nn.sigmoid(neg_cls.reshape(b, nn_, c))
         loss_mil_bags = loss_mil_bags + gfocal_loss(
             neg_sig, jnp.zeros_like(neg_sig), neg_w[..., None].astype(neg_sig.dtype)
         ).sum() / num_sample
@@ -433,7 +442,28 @@ def mil_stage(
             lambda f, rr: pool(f, rr.reshape(-1, 4)).reshape(
                 g, u1 * u2, 7, 7, -1)
         )(mil_feat, pred_d.reshape(b, g, u1 * u2, 4)).reshape(b, n, 7, 7, -1)
-    cls_score, ins_score = mil_classify(roi_feats_cls.reshape(b * n, 7, 7, -1), stage)
+    # negatives share the bag tower AND fc_cls with the positive bags
+    # (mil_bag_classifier / classify_neg use the same weights,
+    # fcos_head_p2b_ts.py:1240-1256): fold their rows into the SAME tower
+    # call — one [B*(n+neg), 12544] matmul launch instead of two (r5; the
+    # per-row math is identical, fc_ins on the neg rows is discarded).
+    use_neg = (mil_classify_neg is not None and neg_key is not None
+               and fine_cfg.gen_num_neg > 0)
+    if use_neg:
+        nn_ = fine_cfg.gen_num_neg
+        keys = jax.random.split(neg_key, b)
+        neg, neg_w = jax.vmap(
+            lambda k, p, v: negative_proposals(k, p, v, nn_, hw)
+        )(keys, props, props_valid & boxes_valid[:, :, None])
+        neg_feats = jax.vmap(pool)(mil_feat, neg)
+        all_feats = jnp.concatenate(
+            [roi_feats_cls.reshape(b * n, 7, 7, roi_feats_cls.shape[-1]),
+             neg_feats.reshape(b * nn_, 7, 7, neg_feats.shape[-1])], axis=0)
+        cls_all, ins_all = mil_classify(all_feats, stage)
+        cls_score, ins_score = cls_all[:b * n], ins_all[:b * n]
+        neg_cls = cls_all[b * n:]
+    else:
+        cls_score, ins_score = mil_classify(roi_feats_cls.reshape(b * n, 7, 7, -1), stage)
     c = cls_score.shape[-1]
     cls_score = cls_score.reshape(b, g, u1, u2, c)
     ins_score = ins_score.reshape(b, g, u1, u2, c)
@@ -451,16 +481,8 @@ def mil_stage(
     loss_pos = gfocal_loss(bag_score, onehot, bag_w[..., None].astype(bag_score.dtype))
     loss_mil_bags = loss_pos.sum() / num_sample
 
-    if mil_classify_neg is not None and neg_key is not None and fine_cfg.gen_num_neg > 0:
-        keys = jax.random.split(neg_key, b)
-        neg, neg_w = jax.vmap(
-            lambda k, p, v: negative_proposals(k, p, v, fine_cfg.gen_num_neg, hw)
-        )(keys, props, props_valid & boxes_valid[:, :, None])
-        neg_feats = jax.vmap(pool)(mil_feat, neg)
-        neg_cls = mil_classify_neg(
-            neg_feats.reshape(b * fine_cfg.gen_num_neg, 7, 7, -1), stage
-        ).reshape(b, fine_cfg.gen_num_neg, c)
-        neg_sig = jax.nn.sigmoid(neg_cls)
+    if use_neg:
+        neg_sig = jax.nn.sigmoid(neg_cls.reshape(b, nn_, c))
         loss_neg = gfocal_loss(neg_sig, jnp.zeros_like(neg_sig),
                                neg_w[..., None].astype(neg_sig.dtype))
         loss_mil_bags = loss_mil_bags + loss_neg.sum() / num_sample
