@@ -129,17 +129,20 @@ def main():
                                 "--objects", "ring",
                                 "--collapse-ratio", "0.7",
                                 "--metrics-out", mo + "rot_ring.jsonl"), 7200),
+        ("rbisect", [PY, "tools/profile_rbisect.py"], 3600),
         ("loop_hbb_ring", _loop("point_teacher", "--lr-epochs", "12",
                                 "--objects", "ring",
                                 "--collapse-ratio", "0.7",
                                 "--metrics-out", mo + "hbb_ring.jsonl"), 7200),
+        # post-optimization recapture (neg-fold + window 24, r5 commit d1217ba)
+        ("bench_p1_v2", [PY, "bench.py"], 2400),
+        ("bisect8_v2", [PY, "tools/profile_bisect8.py"], 3600),
         ("profile_mil", [PY, "tools/profile_mil.py", "--batch", "8"], 2400),
         ("bisect8", [PY, "tools/profile_bisect8.py"], 3600),
         ("loop_rot_noshrink", _loop("rotated", "--lr-epochs", "12",
                                     "--ext-ratios", "1.0,1.2",
                                     "--metrics-out", mo + "rot_noshrink.jsonl",
                                     gate=False), 7200),
-        ("rbisect", [PY, "tools/profile_rbisect.py"], 3600),
         ("rsweep_b8s4", [PY, "bench.py", "--rotated", "--batch", "8",
                          "--scan", "4"], 2400),
         ("rsweep_b6s8", [PY, "bench.py", "--rotated", "--batch", "6"], 2400),
