@@ -125,18 +125,26 @@ def main():
                                 "--metrics-out", mo + "rot_lr12.jsonl",
                                 gate=False), 7200),
         ("bench_rotated", [PY, "bench.py", "--rotated"], 2400),
+        ("rbisect", [PY, "tools/profile_rbisect.py"], 3600),
+        # post-optimization recapture (neg-fold + window 24, r5 commit d1217ba)
+        ("bench_p1_v2", [PY, "bench.py"], 2400),
+        ("bisect8_v2", [PY, "tools/profile_bisect8.py"], 3600),
+        # 8-min learnability probe: can the box-supervised stack learn ring
+        # objects at all? (two blind 45-min TS ring loops failed with AP~0 —
+        # decide the harness-data question cheaply before the next attempt)
+        ("probe_fcos_ring", [PY, "tools/sanity_train.py", "--trainer", "fcos",
+                             "--steps", "800", "--img", "256", "--batch", "4",
+                             "--gt", "4", "--frozen-stages", "0",
+                             "--objects", "ring", "--eval-interval", "200"],
+         2400),
         ("loop_rot_ring", _loop("rotated", "--lr-epochs", "12",
                                 "--objects", "ring",
                                 "--collapse-ratio", "0.7",
                                 "--metrics-out", mo + "rot_ring.jsonl"), 7200),
-        ("rbisect", [PY, "tools/profile_rbisect.py"], 3600),
         ("loop_hbb_ring", _loop("point_teacher", "--lr-epochs", "12",
                                 "--objects", "ring",
                                 "--collapse-ratio", "0.7",
                                 "--metrics-out", mo + "hbb_ring.jsonl"), 7200),
-        # post-optimization recapture (neg-fold + window 24, r5 commit d1217ba)
-        ("bench_p1_v2", [PY, "bench.py"], 2400),
-        ("bisect8_v2", [PY, "tools/profile_bisect8.py"], 3600),
         ("profile_mil", [PY, "tools/profile_mil.py", "--batch", "8"], 2400),
         ("bisect8", [PY, "tools/profile_bisect8.py"], 3600),
         ("loop_rot_noshrink", _loop("rotated", "--lr-epochs", "12",
