@@ -246,6 +246,36 @@ def main():
 
         _steps_mod.strong_augment = lambda k, b: b
         _rsteps_mod.strong_augment_rotated = lambda k, b: b
+    if args.objects == "ring":
+        # Ring-real objects need ring-SYNTHETIC objects: the reference's
+        # black-paper branch paints solid rects (fill_value), so with ring
+        # data the box-regression head would train exclusively on uniform
+        # fills and never transfer to the ring-structured real objects
+        # within the harness's short from-scratch burn-in — both r5 blind
+        # ring TS runs died in phase 1 with AP~0 garbage pseudo boxes
+        # (m_rot_ring.jsonl). Harness-side wrapper only; the library
+        # generator stays reference-faithful (solid fill).
+        import point_teacher_tpu.train.rsteps as _rsteps_mod2
+        import point_teacher_tpu.train.steps as _steps_mod2
+        from point_teacher_tpu.core.synthetic import (
+            generate_black_paper_batch as _gbp)
+        from point_teacher_tpu.ops.masks import rasterize_rboxes as _rast
+
+        def ring_gbp(key, images, gts, valid, cfg, fill_value=255.0):
+            import jax as _jax
+            import jax.numpy as _jnp
+
+            img_syn, xyxy, rb, v = _gbp(key, images, gts, valid, cfg,
+                                        fill_value=fill_value)
+            h_, w_ = images.shape[1], images.shape[2]
+            inner = rb.at[..., 2:4].set(_jnp.maximum(rb[..., 2:4] - 6.0, 0.0))
+            imask = _jax.vmap(lambda bb, vv: _rast(bb, vv, h_, w_))(inner, v)
+            return (_jnp.where(imask[..., None],
+                               _jnp.asarray(0.65 * fill_value, img_syn.dtype),
+                               img_syn), xyxy, rb, v)
+
+        _steps_mod2.generate_black_paper_batch = ring_gbp
+        _rsteps_mod2.generate_black_paper_batch = ring_gbp
     rng = jax.random.PRNGKey(0)
     if rotated:
         from point_teacher_tpu.evalx.rgeometry import rbox_iou_np
