@@ -123,6 +123,7 @@ def main():
                                          "generate_black_paper_batch": no_syngen}),
     ]
     base = None
+    failed = 0
     for name, patches in variants:
         for k, v in originals.items():
             setattr(rsteps_mod, k, v)
@@ -134,20 +135,25 @@ def main():
             # state.params, so without the copy the first donated execution
             # deletes the master `params` buffers and every later variant
             # fails at dispatch with INVALID_ARGUMENT (the r4 rbisect.json
-            # failure mode: baseline ok, all six ablations dead).
+            # failure mode: baseline ok, all six ablations dead). The rng
+            # KEY is aliased the same way (state.rng) — recreate it too, or
+            # every post-baseline variant dies with "Array has been deleted
+            # (uint32[2])" (the r5 first-rerun failure mode).
             vparams = jax.tree_util.tree_map(jnp.copy, params)
             vstate = create_train_state(vparams, tx, num_images=64, max_gt=g,
-                                        rng=rng)
+                                        rng=jax.random.PRNGKey(0))
             t = timeit(build(), vstate, batch)
             d = "" if base is None else f"   (delta {base - t:+8.1f} ms)"
             if base is None:
                 base = t
             print(f"{name:35s}: {t:8.1f} ms{d}", flush=True)
         except Exception as e:  # noqa: BLE001
+            failed += 1
             print(f"{name:35s}: FAILED {str(e)[:120]}", flush=True)
     for k, v in originals.items():
         setattr(rsteps_mod, k, v)
+    return 1 if failed else 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
