@@ -298,6 +298,119 @@ def mil_stage_rotated(
                        refine_bags_iou, cls_pool_coverage)
 
 
+class _BagsPrep(NamedTuple):
+    """Pooled reg bags + the context the tower/tail needs (one branch)."""
+    props: Array
+    props_valid: Array
+    ext: Array          # [B, G, U1, U2, 4]
+    ext_valid: Array    # [B, G, U1, U2]
+    ext_real: Array
+    roi_feats: Array    # [B, N, 7, 7, C], N = G*U1*U2
+    win: Optional[Array]
+    wy0: Optional[Array]
+    wx0: Optional[Array]
+    ctrs: Array
+    gchunk: int
+    coarse_bags_iou: Array
+
+
+def _bags_prep(mil_feat, boxes, boxes_valid, real_boxes, fine_cfg, ext_cfg,
+               hw, window, grouped, roi_chunk):
+    """Proposal bags + the reg-bag pool for one branch (shared by mil_stage
+    and the fused two-branch phase-1 entry)."""
+    b, g = boxes.shape[:2]
+
+    # U1 base bags around each box
+    props, props_valid = jax.vmap(lambda bx: fine_proposals(bx, fine_cfg, hw))(boxes)
+    u1 = props.shape[2]
+    # U2 extensive bags around each base bag
+    ext, ext_valid = jax.vmap(
+        lambda bx: fine_proposals(bx.reshape(-1, 4), ext_cfg, hw)
+    )(props)
+    u2 = ext.shape[2]
+    ext = ext.reshape(b, g, u1, u2, 4)
+    ext_valid = ext_valid.reshape(b, g, u1, u2) & boxes_valid[:, :, None, None]
+    ext_real = jnp.broadcast_to(real_boxes[:, :, None, None, :], ext.shape)
+
+    coarse_bags_iou = _masked_mean(
+        bbox_overlaps(ext, ext_real, is_aligned=True),
+        jnp.broadcast_to(boxes_valid[:, :, None, None], ext.shape[:-1]),
+    )
+
+    # single-shot when the [G, U, out, window, C] intermediate fits (~2.3 GB
+    # bf16 across the batch at the shipped U=25): the lax.map chunk loop was
+    # the serializer, not the gathers (NOTES_r3 pool bisect). U=125 (noisy
+    # stage-2) falls back to 20-group chunks.
+    gchunk = min(g, max(8, 2560 // (u1 * u2)))
+    feat_hw = (mil_feat.shape[1], mil_feat.shape[2])
+    ctrs = xyxy_to_cxcywh(boxes)[..., :2]  # [B, G, 2] group window origins
+    if grouped:
+        # grouped shared-window pool: the bags of one GT are co-located by
+        # construction (fine_proposals ratio-scales w/h and shake-shifts by
+        # <=0.1 box size), so one window gather serves all U members —
+        # AND both pools of the stage: the reg bags (jittered inputs) and
+        # the cls bags (their DN-refined positions, pulled toward the same
+        # reference box by the denoising loss) share the GT-centred window,
+        # halving the dynamic-slice gather/scatter traffic that dominates
+        # the grouped pool (r5; window extraction factored out).
+        # The window size (cfg.mil_pool_window) sets the exactness range —
+        # see train/config.py. `grouped=False` (cfg.mil_pool_grouped)
+        # selects the exact per-roi path instead — the fallback when a
+        # dataset breaks the window assumption (cls_pool_coverage < 1).
+        from ..ops.roi_align import (
+            extract_group_windows, roi_align_grouped_from_windows)
+
+        win, wy0, wx0 = jax.vmap(
+            lambda f, c_: extract_group_windows(f, c_, window=window)
+        )(mil_feat, ctrs)
+
+        def gpool_win(w_, y0, x0, rois):
+            return roi_align_grouped_from_windows(
+                w_, y0, x0, rois, feat_hw, out_size=7,
+                spatial_scale=1.0 / 8, chunk=gchunk)
+
+        roi_feats = jax.vmap(gpool_win)(
+            win, wy0, wx0, ext.reshape(b, g, u1 * u2, 4)
+        ).reshape(b, g * u1 * u2, 7, 7, -1)
+    else:
+        win = wy0 = wx0 = None
+
+        def pool(feat, rois):
+            return roi_align(feat, rois, out_size=7, spatial_scale=1.0 / 8,
+                             chunk=roi_chunk)
+
+        roi_feats = jax.vmap(
+            lambda f, rr: pool(f, rr.reshape(-1, 4)).reshape(
+                g, u1 * u2, 7, 7, -1)
+        )(mil_feat, ext.reshape(b, g, u1 * u2, 4)).reshape(
+            b, g * u1 * u2, 7, 7, -1)
+    return _BagsPrep(props, props_valid, ext, ext_valid, ext_real, roi_feats,
+                     win, wy0, wx0, ctrs, gchunk, coarse_bags_iou)
+
+
+def _reg_finish(prep: _BagsPrep, deltas, boxes, boxes_valid, hw, dn_hyper):
+    """Decode tower deltas + DN denoising loss for one branch's reg bags."""
+    b, g, u1, u2 = prep.ext_valid.shape
+    ext_ref = jnp.broadcast_to(boxes[:, :, None, None, :], prep.ext.shape)
+    pred = delta_decode(prep.ext.reshape(-1, 4), deltas, hw).reshape(b, g, u1, u2, 4)
+    w_valid = prep.ext_valid.astype(pred.dtype)
+    avg = jnp.maximum((boxes_valid.sum() * u1 * u2).astype(pred.dtype), 1.0)
+    # base_valid: see mil_stage_rotated — reference DN base averages over
+    # every real-GT bag row, not just the weight-valid ones
+    loss_mil_bbox = dn_diou_loss(
+        pred.reshape(-1, 4), ext_ref.reshape(-1, 4), weight=w_valid.reshape(-1),
+        avg_factor=avg, hyper=dn_hyper,
+        base_valid=jnp.broadcast_to(boxes_valid[:, :, None, None],
+                                    prep.ext.shape[:-1]).reshape(-1),
+    )
+    pred_d = jax.lax.stop_gradient(pred)
+    refine_bags_iou = _masked_mean(
+        bbox_overlaps(pred_d, prep.ext_real, is_aligned=True),
+        jnp.broadcast_to(boxes_valid[:, :, None, None], prep.ext.shape[:-1]),
+    )
+    return loss_mil_bbox, pred_d, refine_bags_iou
+
+
 def mil_stage(
     mil_regress: Callable[[Array, int], Array],
     mil_classify: Callable[[Array, int], tuple],
@@ -331,98 +444,54 @@ def mil_stage(
     b, g = boxes.shape[:2]
     hw = img_hw
 
-    # U1 base bags around each box
-    props, props_valid = jax.vmap(lambda bx: fine_proposals(bx, fine_cfg, hw))(boxes)
-    u1 = props.shape[2]
-    # U2 extensive bags around each base bag
-    ext, ext_valid = jax.vmap(
-        lambda bx: fine_proposals(bx.reshape(-1, 4), ext_cfg, hw)
-    )(props)
-    u2 = ext.shape[2]
-    ext = ext.reshape(b, g, u1, u2, 4)
-    ext_valid = ext_valid.reshape(b, g, u1, u2) & boxes_valid[:, :, None, None]
+    prep = _bags_prep(mil_feat, boxes, boxes_valid, real_boxes, fine_cfg,
+                      ext_cfg, hw, window, grouped, roi_chunk)
+    ext, ext_valid = prep.ext, prep.ext_valid
+    u1, u2 = ext_valid.shape[2], ext_valid.shape[3]
+    ext_real = prep.ext_real
+    props, props_valid = prep.props, prep.props_valid
+    coarse_bags_iou = prep.coarse_bags_iou
+    n = prep.roi_feats.shape[1]
 
-    ext_ref = jnp.broadcast_to(boxes[:, :, None, None, :], ext.shape)  # reference = input box
-    ext_real = jnp.broadcast_to(real_boxes[:, :, None, None, :], ext.shape)
-
-    coarse_bags_iou = _masked_mean(
-        bbox_overlaps(ext, ext_real, is_aligned=True),
-        jnp.broadcast_to(boxes_valid[:, :, None, None], ext.shape[:-1]),
-    )
-
-    # --- denoising regression ---
-    def pool(feat, rois):
-        # per-roi fallback (negatives: scattered across the image, ungrouped)
-        return roi_align(feat, rois, out_size=7, spatial_scale=1.0 / 8, chunk=roi_chunk)
-
-    # single-shot when the [G, U, out, window, C] intermediate fits (~2.3 GB
-    # bf16 across the batch at the shipped U=25): the lax.map chunk loop was
-    # the serializer, not the gathers (NOTES_r3 pool bisect). U=125 (noisy
-    # stage-2) falls back to 20-group chunks.
-    gchunk = min(g, max(8, 2560 // (u1 * u2)))
-    feat_hw = (mil_feat.shape[1], mil_feat.shape[2])
-
-    ctrs = xyxy_to_cxcywh(boxes)[..., :2]  # [B, G, 2] group window origins
-    if grouped:
-        # grouped shared-window pool: the bags of one GT are co-located by
-        # construction (fine_proposals ratio-scales w/h and shake-shifts by
-        # <=0.1 box size), so one window gather serves all U members —
-        # AND both pools of the stage: the reg bags (jittered inputs) and
-        # the cls bags (their DN-refined positions, pulled toward the same
-        # reference box by the denoising loss) share the GT-centred window,
-        # halving the dynamic-slice gather/scatter traffic that dominates
-        # the grouped pool (r5; window extraction factored out).
-        # window=32 (256px at stride 8) is exact for reference boxes up to
-        # ~100px — the AI-TOD object range with margin; larger (degenerate
-        # early-training pseudo) boxes clamp samples to the window border.
-        # `grouped=False` (cfg.mil_pool_grouped) selects the exact per-roi
-        # path instead — the fallback when a dataset breaks the window
-        # assumption (cls_pool_coverage < 1 in the logs).
-        from ..ops.roi_align import (
-            extract_group_windows, roi_align_grouped_from_windows)
-
-        win, wy0, wx0 = jax.vmap(
-            lambda f, c_: extract_group_windows(f, c_, window=window)
-        )(mil_feat, ctrs)
-
-        def gpool_win(w_, y0, x0, rois):
-            return roi_align_grouped_from_windows(
-                w_, y0, x0, rois, feat_hw, out_size=7,
-                spatial_scale=1.0 / 8, chunk=gchunk)
-
-        roi_feats = jax.vmap(gpool_win)(
-            win, wy0, wx0, ext.reshape(b, g, u1 * u2, 4)
-        ).reshape(b, g * u1 * u2, 7, 7, -1)
-    else:
-        roi_feats = jax.vmap(
-            lambda f, rr: pool(f, rr.reshape(-1, 4)).reshape(
-                g, u1 * u2, 7, 7, -1)
-        )(mil_feat, ext.reshape(b, g, u1 * u2, 4)).reshape(
-            b, g * u1 * u2, 7, 7, -1)
-    n = roi_feats.shape[1]
-    deltas = mil_regress(roi_feats.reshape(b * n, 7, 7, -1), stage)
-    pred = delta_decode(ext.reshape(b * n, 4), deltas, hw).reshape(b, g, u1, u2, 4)
-
-    w_valid = ext_valid.astype(pred.dtype)
-    avg = jnp.maximum((boxes_valid.sum() * u1 * u2).astype(pred.dtype), 1.0)
-    # base_valid: see mil_stage_rotated — reference DN base averages over
-    # every real-GT bag row, not just the weight-valid ones
-    loss_mil_bbox = dn_diou_loss(
-        pred.reshape(-1, 4), ext_ref.reshape(-1, 4), weight=w_valid.reshape(-1),
-        avg_factor=avg, hyper=dn_hyper,
-        base_valid=jnp.broadcast_to(boxes_valid[:, :, None, None],
-                                    ext.shape[:-1]).reshape(-1),
-    )
-
-    pred_d = jax.lax.stop_gradient(pred)
-    refine_bags_iou = _masked_mean(
-        bbox_overlaps(pred_d, ext_real, is_aligned=True),
-        jnp.broadcast_to(boxes_valid[:, :, None, None], ext.shape[:-1]),
-    )
+    deltas = mil_regress(prep.roi_feats.reshape(b * n, 7, 7, -1), stage)
+    loss_mil_bbox, pred_d, refine_bags_iou = _reg_finish(
+        prep, deltas, boxes, boxes_valid, hw, dn_hyper)
 
     if not with_bags_loss:
         return MILStageOut(boxes, loss_mil_bbox, jnp.zeros(()), coarse_bags_iou,
                            refine_bags_iou)
+    return _bags_tail(mil_classify, mil_classify_neg, mil_feat, prep, pred_d,
+                      loss_mil_bbox, refine_bags_iou, labels, boxes,
+                      boxes_valid, fine_cfg, stage, hw, top_k, beta, neg_key,
+                      roi_chunk, window, grouped)
+
+
+def _bags_tail(mil_classify, mil_classify_neg, mil_feat, prep: _BagsPrep,
+               pred_d, loss_mil_bbox, refine_bags_iou, labels, boxes,
+               boxes_valid, fine_cfg, stage, hw, top_k, beta, neg_key,
+               roi_chunk, window, grouped):
+    """Bag classification + negative bags + top-k selection (the
+    with_bags_loss tail of mil_stage, shared with the fused phase-1 entry).
+    pred_d [B, G, U1, U2, 4] are the stop-gradient DN-refined bag boxes."""
+    b, g, u1, u2 = prep.ext_valid.shape
+    n = prep.roi_feats.shape[1]
+    ext_valid = prep.ext_valid
+    coarse_bags_iou = prep.coarse_bags_iou
+    props, props_valid = prep.props, prep.props_valid
+    ctrs = prep.ctrs
+    win, wy0, wx0 = prep.win, prep.wy0, prep.wx0
+    feat_hw = (mil_feat.shape[1], mil_feat.shape[2])
+
+    def pool(feat, rois):
+        # per-roi fallback (negatives: scattered across the image, ungrouped)
+        return roi_align(feat, rois, out_size=7, spatial_scale=1.0 / 8, chunk=roi_chunk)
+
+    def gpool_win(w_, y0, x0, rois):
+        from ..ops.roi_align import roi_align_grouped_from_windows
+
+        return roi_align_grouped_from_windows(
+            w_, y0, x0, rois, feat_hw,
+            out_size=7, spatial_scale=1.0 / 8, chunk=prep.gchunk)
 
     # --- bag classification on the refined bags ---
     # refined bags stay grouped (DN-denoising pulls every member toward its
@@ -510,3 +579,63 @@ def mil_stage(
 
     return MILStageOut(refined, loss_mil_bbox, loss_mil_bags, coarse_bags_iou,
                        refine_bags_iou, cls_pool_coverage)
+
+
+def mil_stage_pair_phase1(
+    mil_regress,
+    mil_classify,
+    mil_classify_neg,
+    feat_syn: Array,
+    syn_boxes: Array,
+    syn_valid: Array,
+    feat_ori: Array,
+    boxes: Array,
+    labels: Array,
+    boxes_valid: Array,
+    real_boxes: Array,
+    fine_cfg: FineProposalCfg,
+    ext_cfg: FineProposalCfg,
+    stage: int,
+    img_hw,
+    top_k: int,
+    beta: float,
+    dn_hyper: float,
+    neg_key: Optional[Array],
+    roi_chunk: int = 256,
+    window: int = 32,
+    grouped: bool = True,
+):
+    """Fused phase-1 MIL: the synthetic branch (denoising reg only,
+    MIL_head_burn_in_step1's syn bags whose classifier output is discarded)
+    and the real branch share the SAME reg_tower weights, so both branches'
+    bag rows run through ONE [2*B*N, 12544] tower matmul instead of two
+    launches (r5). Per-row math is identical to
+    mil_stage(syn, with_bags=False) + mil_stage(ori, with_bags=True) —
+    pinned by tests/test_train_step.py::test_fused_pair_equals_two_stages.
+
+    Returns (syn MILStageOut, ori MILStageOut).
+    """
+    b = boxes.shape[0]
+    hw = img_hw
+    prep_s = _bags_prep(feat_syn, syn_boxes, syn_valid, syn_boxes, fine_cfg,
+                        ext_cfg, hw, window, grouped, roi_chunk)
+    prep_o = _bags_prep(feat_ori, boxes, boxes_valid, real_boxes, fine_cfg,
+                        ext_cfg, hw, window, grouped, roi_chunk)
+    ns = prep_s.roi_feats.shape[1]
+    no = prep_o.roi_feats.shape[1]
+    c = prep_s.roi_feats.shape[-1]
+    rows = jnp.concatenate(
+        [prep_s.roi_feats.reshape(b * ns, 7, 7, c),
+         prep_o.roi_feats.reshape(b * no, 7, 7, c)], axis=0)
+    deltas = mil_regress(rows, stage)
+    loss_s, _, refine_iou_s = _reg_finish(
+        prep_s, deltas[:b * ns], syn_boxes, syn_valid, hw, dn_hyper)
+    loss_o, pred_d_o, refine_iou_o = _reg_finish(
+        prep_o, deltas[b * ns:], boxes, boxes_valid, hw, dn_hyper)
+    syn_out = MILStageOut(syn_boxes, loss_s, jnp.zeros(()),
+                          prep_s.coarse_bags_iou, refine_iou_s)
+    ori_out = _bags_tail(mil_classify, mil_classify_neg, feat_ori, prep_o,
+                         pred_d_o, loss_o, refine_iou_o, labels, boxes,
+                         boxes_valid, fine_cfg, stage, hw, top_k, beta,
+                         neg_key, roi_chunk, window, grouped)
+    return syn_out, ori_out

@@ -31,7 +31,7 @@ from ..models.detector import StudentFCOS
 from ..ops.boxes import bbox_overlaps, grid_points, xyxy_to_cxcywh
 from .config import PointTeacherConfig
 from .dense_losses import pseudo_branch_loss, syn_branch_loss
-from .mil import mil_stage
+from .mil import mil_stage, mil_stage_pair_phase1
 from .state import Batch, TrainState, ema_update
 
 Array = jnp.ndarray
@@ -118,6 +118,45 @@ def _run_mil_stages(model, params, mil_feat, boxes, labels, valid, real_boxes,
         else:
             total = total + out.loss_mil_bbox * cfg.alpha[0]
     return cur, total
+
+
+def _run_mil_stages_pair(model, params, feat_syn, syn_boxes, syn_valid,
+                         feat_ori, boxes, labels, valid, real_boxes,
+                         cfg: PointTeacherConfig, key, hw,
+                         metrics: Dict[str, Array]):
+    """Phase-1 MIL: the syn (reg-only) and real branches fused per stage so
+    both run through ONE reg-tower matmul (mil_stage_pair_phase1). Metric
+    keys and key-chaining match the two sequential _run_mil_stages calls
+    exactly: the syn branch's stage keys are written first and overwritten
+    by the real branch's (the pre-r5 behaviour), and the negative-proposal
+    keys split off `key` exactly as the ori call's chain did."""
+    regress, classify, classify_neg = _mil_fns(model, params)
+    total_syn = jnp.zeros(())
+    total_ori = jnp.zeros(())
+    cur = boxes
+    for stage in range(cfg.num_stages):
+        key, sub = jax.random.split(key)
+        syn_out, out = mil_stage_pair_phase1(
+            regress, classify, classify_neg,
+            feat_syn, syn_boxes, syn_valid,
+            feat_ori, cur, labels, valid, real_boxes,
+            cfg.fine_proposal_cfg[stage], cfg.fine_proposal_extensive_cfg[stage],
+            stage, hw, cfg.top_k, cfg.beta, cfg.dn_hyper_denoising, sub,
+            window=cfg.mil_pool_window, grouped=cfg.mil_pool_grouped,
+        )
+        total_syn = total_syn + syn_out.loss_mil_bbox * cfg.alpha[0]
+        metrics[f"stage{stage}_loss_mil_bbox"] = out.loss_mil_bbox * cfg.alpha[0]
+        metrics[f"stage{stage}_coarse_bags_iou"] = out.coarse_bags_iou
+        metrics[f"stage{stage}_refine_bags_iou"] = out.refine_bags_iou
+        metrics[f"stage{stage}_cls_pool_coverage"] = out.cls_pool_coverage
+        metrics[f"stage{stage}_loss_mil_bags"] = out.loss_mil_bags * cfg.alpha[1]
+        total_ori = total_ori + out.loss_mil_bbox * cfg.alpha[0] + out.loss_mil_bags * cfg.alpha[1]
+        ious = bbox_overlaps(out.refined_boxes, real_boxes, is_aligned=True)
+        metrics[f"stage{stage}_refine_bboxes_iou"] = (
+            jnp.where(valid, ious, 0.0).sum() / jnp.maximum(valid.sum(), 1)
+        )
+        cur = out.refined_boxes
+    return cur, total_syn, total_ori
 
 
 def _point_update(state: TrainState, batch: Batch, origin, refined_boxes, gate,
@@ -272,17 +311,15 @@ def _make_step_fn(model: StudentFCOS, tx, cfg: PointTeacherConfig):
                 bbox_a = bbox_all[b:]
                 ctr_a = ctr_all[b:]
 
-                # MIL: denoising reg on synthetic bags (exact boxes)...
-                _, mil_loss_syn = _run_mil_stages(
+                # MIL: denoising reg on synthetic bags + bag selection/
+                # classification on real-image pseudo bags, fused per stage
+                # (both branches share reg_tower — one tower matmul launch)
+                refined, mil_loss_syn, mil_loss_ori = _run_mil_stages_pair(
                     model, params, mil_feat_syn, syn_boxes[:, :nt],
-                    jnp.zeros_like(batch.gt_labels[:, sl]), syn_valid[:, :nt],
-                    syn_boxes[:, :nt], cfg, k_mil_syn, hw, with_bags=False, metrics=m,
-                )
-                # ...bag selection/classification on real-image pseudo bags
-                refined, mil_loss_ori = _run_mil_stages(
-                    model, params, mil_feat_ori, ps["pseudo_boxes"][:, sl],
+                    syn_valid[:, :nt],
+                    mil_feat_ori, ps["pseudo_boxes"][:, sl],
                     ps["pseudo_labels"][:, sl], batch.gt_valid[:, sl],
-                    batch.gt_boxes[:, sl], cfg, k_mil, hw, with_bags=True, metrics=m,
+                    batch.gt_boxes[:, sl], cfg, k_mil, hw, metrics=m,
                 )
                 mil_loss = (mil_loss_syn + mil_loss_ori) * gate_f
                 # phase-1 quirk: refinement discarded

@@ -129,6 +129,8 @@ def main():
         # post-optimization recapture (neg-fold + window 24, r5 commit d1217ba)
         ("bench_p1_v2", [PY, "bench.py"], 2400),
         ("bisect8_v2", [PY, "tools/profile_bisect8.py"], 3600),
+        # post reg-tower-fusion recapture (phase-1 only change)
+        ("bench_p1_v3", [PY, "bench.py"], 2400),
         # 8-min learnability probe: can the box-supervised stack learn ring
         # objects at all? (two blind 45-min TS ring loops failed with AP~0 —
         # decide the harness-data question cheaply before the next attempt)
@@ -137,14 +139,19 @@ def main():
                              "--gt", "4", "--frozen-stages", "0",
                              "--objects", "ring", "--eval-interval", "200"],
          2400),
-        ("loop_rot_ring", _loop("rotated", "--lr-epochs", "12",
-                                "--objects", "ring",
-                                "--collapse-ratio", "0.7",
-                                "--metrics-out", mo + "rot_ring.jsonl"), 7200),
+        # exploratory (gate=False): the first ring attempt EXPLODED the other
+        # way (pwh 16->108, m_rot_ring.jsonl) — the walk is unstable in both
+        # directions without the reference's basin-shaping hyperparameters
+        ("loop_rot_ring2", _loop("rotated", "--lr-epochs", "12",
+                                 "--objects", "ring",
+                                 "--top-k", "3", "--gen-neg", "200",
+                                 "--metrics-out", mo + "rot_ring2.jsonl",
+                                 gate=False), 9600),
         ("loop_hbb_ring", _loop("point_teacher", "--lr-epochs", "12",
                                 "--objects", "ring",
-                                "--collapse-ratio", "0.7",
-                                "--metrics-out", mo + "hbb_ring.jsonl"), 7200),
+                                "--top-k", "1", "--gen-neg", "200",
+                                "--metrics-out", mo + "hbb_ring.jsonl",
+                                gate=False), 9600),
         ("profile_mil", [PY, "tools/profile_mil.py", "--batch", "8"], 2400),
         ("bisect8", [PY, "tools/profile_bisect8.py"], 3600),
         ("loop_rot_noshrink", _loop("rotated", "--lr-epochs", "12",

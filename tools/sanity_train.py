@@ -181,6 +181,16 @@ def main():
                          "bias that drives phase-2 pseudo-box contraction — "
                          "NOTES_r5 root-cause). ring = discriminative 2px "
                          "boundary + faint interior, the real-photo regime")
+    ap.add_argument("--top-k", type=int, default=1,
+                    help="MIL selection top-k (reference SODA-A config: 3 — "
+                         "averaging damps the selection walk; HBB config: 1)")
+    ap.add_argument("--gen-neg", type=int, default=16,
+                    help="negative proposals per image (reference: 200). "
+                         "Negatives train the bag classifier to score "
+                         "background-containing and far-off-scale crops low "
+                         "— they SHAPE the scoring basin that anchors the "
+                         "phase-2 pseudo-box walk; the harness default 16 "
+                         "was a speed cut that weakens the anchor")
     ap.add_argument("--ext-ratios", default="1.0,1.2,0.8",
                     help="extensive-bag base_ratios (comma list). A/B knob "
                          "for the shrink bias: ratios >= 1.0 only removes "
@@ -224,8 +234,9 @@ def main():
         lamda=args.lamda,
         position=args.position,
         num_training_burninstep1=args.gt, num_training_burninstep2=args.gt,
+        top_k=args.top_k,
         fine_proposal_cfg=(FineProposalCfg(base_ratios=(1.0,), min_scale=0.0,
-                                           gen_num_neg=16),),
+                                           gen_num_neg=args.gen_neg),),
         fine_proposal_extensive_cfg=(FineProposalCfg(
             base_ratios=tuple(float(r) for r in args.ext_ratios.split(",")),
             min_scale=4.0),),
