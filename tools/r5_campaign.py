@@ -131,6 +131,9 @@ def main():
         ("bisect8_v2", [PY, "tools/profile_bisect8.py"], 3600),
         # post reg-tower-fusion recapture (phase-1 only change)
         ("bench_p1_v3", [PY, "bench.py"], 2400),
+        ("rsweep_b8s4", [PY, "bench.py", "--rotated", "--batch", "8",
+                         "--scan", "4"], 2400),
+        ("rsweep_b6s8", [PY, "bench.py", "--rotated", "--batch", "6"], 2400),
         # 8-min learnability probe: can the box-supervised stack learn ring
         # objects at all? (two blind 45-min TS ring loops failed with AP~0 —
         # decide the harness-data question cheaply before the next attempt)
@@ -158,9 +161,6 @@ def main():
                                     "--ext-ratios", "1.0,1.2",
                                     "--metrics-out", mo + "rot_noshrink.jsonl",
                                     gate=False), 7200),
-        ("rsweep_b8s4", [PY, "bench.py", "--rotated", "--batch", "8",
-                         "--scan", "4"], 2400),
-        ("rsweep_b6s8", [PY, "bench.py", "--rotated", "--batch", "6"], 2400),
         ("bench_phase2", [PY, "bench.py", "--phase2"], 2400),
         ("loop_rot_const", _loop("rotated", "--lr-epochs", "0",
                                  "--metrics-out", mo + "rot_const.jsonl",
