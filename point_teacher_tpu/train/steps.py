@@ -311,15 +311,23 @@ def _make_step_fn(model: StudentFCOS, tx, cfg: PointTeacherConfig):
                 bbox_a = bbox_all[b:]
                 ctr_a = ctr_all[b:]
 
-                # MIL: denoising reg on synthetic bags + bag selection/
-                # classification on real-image pseudo bags, fused per stage
-                # (both branches share reg_tower — one tower matmul launch)
-                refined, mil_loss_syn, mil_loss_ori = _run_mil_stages_pair(
+                # MIL: denoising reg on synthetic bags (exact boxes)...
+                # NOTE the r5 fused variant (_run_mil_stages_pair: both
+                # branches through ONE reg-tower matmul, bit-exact) MEASURED
+                # SLOWER end-to-end (bench_p1_v3 26.29 vs v2 27.14 imgs/s):
+                # the [2BN, 12544] concat materializes two ~500 MB row
+                # copies, outweighing the saved launch. Kept (and pinned by
+                # tests/test_mil_fused.py) as the recorded attempt.
+                _, mil_loss_syn = _run_mil_stages(
                     model, params, mil_feat_syn, syn_boxes[:, :nt],
-                    syn_valid[:, :nt],
-                    mil_feat_ori, ps["pseudo_boxes"][:, sl],
+                    jnp.zeros_like(batch.gt_labels[:, sl]), syn_valid[:, :nt],
+                    syn_boxes[:, :nt], cfg, k_mil_syn, hw, with_bags=False, metrics=m,
+                )
+                # ...bag selection/classification on real-image pseudo bags
+                refined, mil_loss_ori = _run_mil_stages(
+                    model, params, mil_feat_ori, ps["pseudo_boxes"][:, sl],
                     ps["pseudo_labels"][:, sl], batch.gt_valid[:, sl],
-                    batch.gt_boxes[:, sl], cfg, k_mil, hw, metrics=m,
+                    batch.gt_boxes[:, sl], cfg, k_mil, hw, with_bags=True, metrics=m,
                 )
                 mil_loss = (mil_loss_syn + mil_loss_ori) * gate_f
                 # phase-1 quirk: refinement discarded

@@ -136,6 +136,8 @@ def main():
         ("rsweep_b6s8", [PY, "bench.py", "--rotated", "--batch", "6"], 2400),
         # sub-split of rbisect's 138 ms rotated-MIL item
         ("profile_rmil", [PY, "tools/profile_rmil.py"], 2400),
+        # fusion reverted (v3 26.29 < v2 27.14): confirm the unfused number
+        ("bench_p1_v4", [PY, "bench.py"], 2400),
         # 8-min learnability probe: can the box-supervised stack learn ring
         # objects at all? (two blind 45-min TS ring loops failed with AP~0 —
         # decide the harness-data question cheaply before the next attempt)
