@@ -146,6 +146,7 @@ def main():
                              "--gt", "4", "--frozen-stages", "0",
                              "--objects", "ring", "--eval-interval", "200"],
          2400),
+        ("bench_phase2", [PY, "bench.py", "--phase2"], 2400),
         # exploratory (gate=False): the first ring attempt EXPLODED the other
         # way (pwh 16->108, m_rot_ring.jsonl) — the walk is unstable in both
         # directions without the reference's basin-shaping hyperparameters
@@ -165,7 +166,6 @@ def main():
                                     "--ext-ratios", "1.0,1.2",
                                     "--metrics-out", mo + "rot_noshrink.jsonl",
                                     gate=False), 7200),
-        ("bench_phase2", [PY, "bench.py", "--phase2"], 2400),
         ("loop_rot_const", _loop("rotated", "--lr-epochs", "0",
                                  "--metrics-out", mo + "rot_const.jsonl",
                                  gate=False), 7200),
